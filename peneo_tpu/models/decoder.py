@@ -1,0 +1,242 @@
+"""PEneo decoder: shrink projection + pairwise ("handshaking") head + 5
+classifiers + losses, in dense blockwise form.
+
+Reference semantics (model/peneo_decoder.py):
+- shrink projection: Linear→SiLU→Dropout ×2, input → H_b → H_b/2   :213-222
+- HandshakingKernel: silu(Linear([h_i; h_j]))                       :149-177
+- 5 classifiers (2-layer MLPs by default)                           :231-292
+- weighted-CE/OHEM losses over the flattened triu sequence          :375-428
+
+TPU-first redesign: ``Linear([h_i; h_j]) = h_i @ W_a + h_j @ W_b + b``, so we
+precompute ``A = h @ W_a + b`` and ``Bm = h @ W_b`` once (O(L·H²)) and build
+pair features blockwise as ``silu(A[:, i_blk, None] + Bm[:, None, :])`` —
+O(L²·H) compute with O(blk·L·H) live memory, never materializing the
+(B, L, L, 2H) concat tensor the reference allocates (peneo_decoder.py:163-170).
+Each row-block is rematerialized in the backward pass (nn.remat), so training
+residuals stay O(L·H).
+
+Labels are dense (B, L, L) int matrices; the loss masks to the upper triangle
+of the first ``valid_len`` positions — numerically identical to the
+reference's flattened-triu CE when the reference pads to the same length
+(collator "max_length" mode, data/collator.py:74-80,156-169).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import PEneoConfig
+from ..ops.losses import peneo_head_loss
+
+HEAD_NAMES = (
+    "line_extraction",
+    "ent_linking_h2h",
+    "ent_linking_t2t",
+    "line_grouping_h2h",
+    "line_grouping_t2t",
+)
+HEAD_CLASSES = {
+    "line_extraction": 2,
+    "ent_linking_h2h": 3,
+    "ent_linking_t2t": 3,
+    "line_grouping_h2h": 3,
+    "line_grouping_t2t": 3,
+}
+
+
+class PairClassifier(nn.Module):
+    """MLP classifier over pair features (reference build_classifier,
+    model/peneo_decoder.py:231-271). num_layers==1 → single Dense; otherwise
+    Dense(mid)→SiLU→Dropout repeated, final Dense(C)."""
+
+    num_classes: int
+    num_layers: int
+    dropout: float
+    init_range: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        init = nn.initializers.normal(self.init_range)
+        if self.num_layers == 1:
+            return nn.Dense(self.num_classes, kernel_init=init, dtype=self.dtype,
+                            name="fc_out")(x)
+        mid = x.shape[-1]
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(mid, kernel_init=init, dtype=self.dtype, name=f"fc_{i}")(x)
+            x = jax.nn.silu(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.num_classes, kernel_init=init, dtype=self.dtype,
+                        name="fc_out")(x)
+
+
+class PairBlockBank(nn.Module):
+    """One row-block of the pair grid through all 5 heads.
+
+    Inputs: ``a_blk (B, bs, H)`` (rows), ``b_all (B, L, H)`` (columns).
+    Output: dict head → logits (B, bs, L, C). Wrapped in nn.remat by the
+    decoder so pair features are recomputed in backward.
+    """
+
+    cfg: PEneoConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a_blk, b_all, deterministic: bool):
+        cfg = self.cfg
+        drop = (cfg.backbone_config or {}).get("hidden_dropout_prob", 0.1)
+        pair = jax.nn.silu(a_blk[:, :, None, :] + b_all[:, None, :, :])
+        out = {}
+        for name in HEAD_NAMES:
+            out[name] = PairClassifier(
+                HEAD_CLASSES[name],
+                cfg.peneo_classifier_num_layers,
+                drop,
+                cfg.initializer_range,
+                self.dtype,
+                name=f"{name}_fc",
+            )(pair, deterministic)
+        return out
+
+
+def triu_valid_mask(row0: int, bs: int, seq_len: int, valid_len: int) -> jnp.ndarray:
+    """(bs, seq_len) bool: upper-triangular and within the first valid_len."""
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bs, seq_len), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, seq_len), 1)
+    return (rows <= cols) & (rows < valid_len) & (cols < valid_len)
+
+
+class PEneoDecoder(nn.Module):
+    """Pair-extraction head stack.
+
+    Call modes:
+    - ``labels`` given  → dict of losses (total + per-head), reference
+      semantics (model/peneo_decoder.py:375-428)
+    - ``labels`` None   → dict with per-head ``tags`` (argmax class) and
+      ``scores`` (max softmax prob), both (B, L, L) — the device half of
+      decoding; or full ``logits`` when ``return_logits=True``.
+    """
+
+    cfg: PEneoConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sequence_output: jnp.ndarray,  # (B, Ld, F) stripped hidden states
+        labels: Optional[Dict[str, jnp.ndarray]] = None,  # head → (B, Ld, Ld)
+        deterministic: bool = True,
+        return_logits: bool = False,
+    ):
+        cfg = self.cfg
+        bc = cfg.backbone_config or {}
+        backbone_hidden = bc.get("hidden_size", 768)
+        drop_p = bc.get("hidden_dropout_prob", 0.1)
+        init = nn.initializers.normal(cfg.initializer_range)
+        B, Ld, _ = sequence_output.shape
+
+        h = sequence_output.astype(self.dtype)
+        if cfg.peneo_decoder_shrink:
+            h = nn.Dense(backbone_hidden, kernel_init=init, dtype=self.dtype,
+                         name="shrink_0")(h)
+            h = jax.nn.silu(h)
+            h = nn.Dropout(drop_p)(h, deterministic=deterministic)
+            h = nn.Dense(backbone_hidden // 2, kernel_init=init, dtype=self.dtype,
+                         name="shrink_1")(h)
+            h = jax.nn.silu(h)
+            h = nn.Dropout(drop_p)(h, deterministic=deterministic)
+        dec_h = h.shape[-1]
+
+        # handshaking combine split: cat(h_i, h_j) @ W  ==  h_i@W_a + h_j@W_b
+        a = nn.Dense(dec_h, kernel_init=init, dtype=self.dtype, name="comb_a")(h)
+        b = nn.Dense(dec_h, use_bias=False, kernel_init=init, dtype=self.dtype,
+                     name="comb_b")(h)
+
+        bs = min(cfg.pair_block_size, max(Ld, 8))
+        Lp = ((Ld + bs - 1) // bs) * bs
+        if Lp != Ld:
+            pad = [(0, 0), (0, Lp - Ld), (0, 0)]
+            a = jnp.pad(a, pad)
+            b = jnp.pad(b, pad)
+
+        bank = nn.remat(PairBlockBank, static_argnums=(3,))(
+            cfg, self.dtype, name="heads")
+
+        if labels is not None:
+            weights = jnp.asarray(cfg.peneo_category_weights, dtype=jnp.float32)
+            le_weights = weights[:2]
+            nums = {name: 0.0 for name in HEAD_NAMES}
+            dens = {name: 0.0 for name in HEAD_NAMES}
+            ohem = cfg.peneo_ohem_num_positive != -1 or cfg.peneo_ohem_num_negative != -1
+            if ohem:
+                # OHEM needs a global top-k: collect per-block logit blocks.
+                collected = {name: [] for name in HEAD_NAMES}
+            lbl = {
+                name: jnp.pad(labels[name], [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
+                if Lp != Ld else labels[name]
+                for name in HEAD_NAMES
+            }
+            for r0 in range(0, Lp, bs):
+                logits_blk = bank(a[:, r0:r0 + bs], b, deterministic)
+                mask = triu_valid_mask(r0, bs, Lp, Ld)[None]  # (1, bs, Lp)
+                for name in HEAD_NAMES:
+                    if ohem:
+                        collected[name].append(logits_blk[name])
+                        continue
+                    w = le_weights if name == "line_extraction" else weights
+                    num, den = _ce_sums(logits_blk[name],
+                                        lbl[name][:, r0:r0 + bs], w, mask)
+                    nums[name] = nums[name] + num
+                    dens[name] = dens[name] + den
+            losses = {}
+            if ohem:
+                full_mask = triu_valid_mask(0, Lp, Lp, Ld)[None]
+                for name in HEAD_NAMES:
+                    w = le_weights if name == "line_extraction" else weights
+                    logits_full = jnp.concatenate(collected[name], axis=1)
+                    losses[name] = peneo_head_loss(
+                        logits_full, lbl[name], w,
+                        jnp.broadcast_to(full_mask, lbl[name].shape),
+                        cfg.peneo_ohem_num_positive, cfg.peneo_ohem_num_negative)
+            else:
+                for name in HEAD_NAMES:
+                    losses[name] = nums[name] / jnp.maximum(dens[name], 1e-12)
+            ratios = cfg.peneo_loss_ratio or [1.0] * 5
+            losses["total"] = sum(
+                r * losses[name] for r, name in zip(ratios, HEAD_NAMES))
+            return losses
+
+        # inference / eval path
+        tags = {name: [] for name in HEAD_NAMES}
+        scores = {name: [] for name in HEAD_NAMES}
+        logits_out = {name: [] for name in HEAD_NAMES} if return_logits else None
+        for r0 in range(0, Lp, bs):
+            logits_blk = bank(a[:, r0:r0 + bs], b, True)
+            for name in HEAD_NAMES:
+                lg = logits_blk[name].astype(jnp.float32)
+                if return_logits:
+                    logits_out[name].append(lg)
+                p = jax.nn.softmax(lg, axis=-1)
+                tags[name].append(jnp.argmax(p, axis=-1).astype(jnp.int32))
+                scores[name].append(jnp.max(p, axis=-1))
+        out = {}
+        for name in HEAD_NAMES:
+            t = jnp.concatenate(tags[name], axis=1)[:, :Ld, :Ld]
+            s = jnp.concatenate(scores[name], axis=1)[:, :Ld, :Ld]
+            out[name] = {"tags": t, "scores": s}
+            if return_logits:
+                out[name]["logits"] = jnp.concatenate(
+                    logits_out[name], axis=1)[:, :Ld, :Ld]
+        return out
+
+
+def _ce_sums(logits, targets, class_weights, mask):
+    """Weighted-CE numerator/denominator for one block (torch 'mean' parts)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    w = class_weights[targets] * mask.astype(jnp.float32)
+    return (ce * w).sum(), w.sum()

@@ -1,0 +1,256 @@
+"""LiLT backbone in flax.linen — dual-stream (text + layout) transformer.
+
+TPU-first re-design of the reference's vendored LiLT
+(reference: model/backbone/lilt/modeling_lilt.py). Key observations exploited:
+
+- BiACM score coupling (modeling_lilt.py:370-375): the reference computes
+  ``text_final = s_t/√d + s_l/√(d/r)`` and ``layout_final = s_l/√(d/r) +
+  s_t/√d`` — the two matrices are IDENTICAL, so both streams share one score
+  tensor and one softmax. We compute it once (halves the softmax/mask work);
+  the two streams still draw independent attention-dropout masks.
+- The text stream width H and layout stream width H/r (r=4 ⇒ 192) are both
+  MXU-friendly; all matmuls run in the configured compute dtype (bf16 on TPU)
+  with fp32 params.
+
+Numerics parity (fp32 vs fp32) is tested against the reference torch model in
+tests/test_lilt_parity.py.
+
+I/O contract (modeling_lilt.py:855-997): inputs ``input_ids (B, L)``, ``bbox
+(B, L, 4)`` in [0,1000], ``attention_mask (B, L)``; returns dict with
+``last_hidden_state = concat(semantic, layout) (B, L, H + H/r)`` plus the two
+streams.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import LiltConfig
+
+ACT = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def dense_init(cfg):
+    return nn.initializers.normal(cfg.initializer_range)
+
+
+def make_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
+    """RoBERTa-style pad-aware position ids: cumsum over non-pad, offset by
+    pad id (reference: modeling_lilt.py:1000-1015)."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_token_id
+
+
+def extended_attention_mask(attention_mask: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, L) {0,1} → (B, 1, 1, L) additive bias with large negative on pads."""
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min / 2, dtype=jnp.float32)
+    bias = (1.0 - attention_mask.astype(jnp.float32)) * neg
+    return bias[:, None, None, :].astype(dtype)
+
+
+class LiltTextEmbeddings(nn.Module):
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids, deterministic: bool):
+        cfg = self.cfg
+        init = dense_init(cfg)
+        words = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+                         dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, embedding_init=init,
+                       dtype=self.dtype, name="position_embeddings")(position_ids)
+        # token_type_ids are always zeros in the PEneo pipeline
+        tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
+                            dtype=self.dtype, name="token_type_embeddings")(
+            jnp.zeros_like(input_ids))
+        x = words + tok_type + pos
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+class LiltLayoutEmbeddings(nn.Module):
+    """Layout stream input: x/y/h/w bucket embeddings of the [0,1000] bbox,
+    concat → linear → + box position embedding → LN (modeling_lilt.py:133-210)."""
+
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bbox, position_ids, deterministic: bool):
+        cfg = self.cfg
+        init = dense_init(cfg)
+        sixth = cfg.hidden_size // 6
+        lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
+        x_emb = nn.Embed(cfg.max_2d_position_embeddings, sixth, embedding_init=init,
+                         dtype=self.dtype, name="x_position_embeddings")
+        y_emb = nn.Embed(cfg.max_2d_position_embeddings, sixth, embedding_init=init,
+                         dtype=self.dtype, name="y_position_embeddings")
+        h_emb = nn.Embed(cfg.max_2d_position_embeddings, sixth, embedding_init=init,
+                         dtype=self.dtype, name="h_position_embeddings")
+        w_emb = nn.Embed(cfg.max_2d_position_embeddings, sixth, embedding_init=init,
+                         dtype=self.dtype, name="w_position_embeddings")
+        spatial = jnp.concatenate(
+            [
+                x_emb(bbox[:, :, 0]),
+                y_emb(bbox[:, :, 1]),
+                x_emb(bbox[:, :, 2]),
+                y_emb(bbox[:, :, 3]),
+                h_emb(bbox[:, :, 3] - bbox[:, :, 1]),
+                w_emb(bbox[:, :, 2] - bbox[:, :, 0]),
+            ],
+            axis=-1,
+        )
+        spatial = nn.Dense(lay_h, kernel_init=init, dtype=self.dtype,
+                           name="box_linear_embeddings")(spatial)
+        box_pos = nn.Embed(cfg.max_position_embeddings, lay_h, embedding_init=init,
+                           dtype=self.dtype, name="box_position_embeddings")(position_ids)
+        out = spatial + box_pos
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(out)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out
+
+
+class LiltSelfAttention(nn.Module):
+    """Dual-stream attention with BiACM score sharing (modeling_lilt.py:328-425)."""
+
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text, layout, attn_bias, deterministic: bool):
+        cfg = self.cfg
+        init = dense_init(cfg)
+        nh = cfg.num_attention_heads
+        dh = cfg.hidden_size // nh
+        r = cfg.channel_shrink_ratio
+        dh_l = dh // r
+
+        def proj(x, feats, name):
+            y = nn.Dense(feats, kernel_init=init, dtype=self.dtype, name=name)(x)
+            return y.reshape(y.shape[0], y.shape[1], nh, feats // nh)
+
+        q_t = proj(text, cfg.hidden_size, "query")
+        k_t = proj(text, cfg.hidden_size, "key")
+        v_t = proj(text, cfg.hidden_size, "value")
+        q_l = proj(layout, cfg.hidden_size // r, "layout_query")
+        k_l = proj(layout, cfg.hidden_size // r, "layout_key")
+        v_l = proj(layout, cfg.hidden_size // r, "layout_value")
+
+        s_t = jnp.einsum("blhd,bmhd->bhlm", q_t, k_t,
+                         preferred_element_type=jnp.float32) / jnp.sqrt(float(dh))
+        s_l = jnp.einsum("blhd,bmhd->bhlm", q_l, k_l,
+                         preferred_element_type=jnp.float32) / jnp.sqrt(float(dh_l))
+        # BiACM: both streams share the same coupled scores
+        scores = s_t + s_l + attn_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+
+        drop = nn.Dropout(cfg.attention_probs_dropout_prob)
+        p_t = drop(probs, deterministic=deterministic)
+        p_l = drop(probs, deterministic=deterministic)
+
+        ctx_t = jnp.einsum("bhlm,bmhd->blhd", p_t, v_t)
+        ctx_l = jnp.einsum("bhlm,bmhd->blhd", p_l, v_l)
+        B, L = text.shape[:2]
+        return ctx_t.reshape(B, L, nh * dh), ctx_l.reshape(B, L, nh * dh_l)
+
+
+class ResidualOutput(nn.Module):
+    """Dense → dropout → LayerNorm(x + residual) (modeling_lilt.py:432-443)."""
+
+    features: int
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual, deterministic: bool):
+        x = nn.Dense(self.features, kernel_init=dense_init(self.cfg), dtype=self.dtype,
+                     name="dense")(x)
+        x = nn.Dropout(self.cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(x + residual)
+
+
+class Mlp(nn.Module):
+    """intermediate (act) + output (residual LN) (modeling_lilt.py:511-537)."""
+
+    hidden: int
+    intermediate: int
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        h = nn.Dense(self.intermediate, kernel_init=dense_init(self.cfg),
+                     dtype=self.dtype, name="intermediate_dense")(x)
+        h = ACT[self.cfg.hidden_act](h)
+        out = ResidualOutput(self.hidden, self.cfg, self.dtype, name="output")(
+            h, x, deterministic)
+        return out
+
+
+class LiltLayer(nn.Module):
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text, layout, attn_bias, deterministic: bool):
+        cfg = self.cfg
+        lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
+        ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, name="self_attn")(
+            text, layout, attn_bias, deterministic)
+        text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
+            ctx_t, text, deterministic)
+        layout = ResidualOutput(lay_h, cfg, self.dtype, name="layout_attn_output")(
+            ctx_l, layout, deterministic)
+        text = Mlp(cfg.hidden_size, cfg.intermediate_size, cfg, self.dtype,
+                   name="mlp")(text, deterministic)
+        layout = Mlp(lay_h, cfg.intermediate_size // cfg.channel_shrink_ratio, cfg,
+                     self.dtype, name="layout_mlp")(layout, deterministic)
+        return text, layout
+
+
+class LiltModel(nn.Module):
+    """Full LiLT encoder. Returns dict with concat(semantic, layout) hidden."""
+
+    cfg: LiltConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        bbox: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        position_ids = make_position_ids(input_ids, cfg.pad_token_id)
+        attn_bias = extended_attention_mask(attention_mask, jnp.float32)
+
+        text = LiltTextEmbeddings(cfg, self.dtype, name="embeddings")(
+            input_ids, position_ids, deterministic)
+        layout = LiltLayoutEmbeddings(cfg, self.dtype, name="layout_embeddings")(
+            bbox, position_ids, deterministic)
+
+        for i in range(cfg.num_hidden_layers):
+            text, layout = LiltLayer(cfg, self.dtype, name=f"layer_{i}")(
+                text, layout, attn_bias, deterministic)
+
+        return {
+            "last_hidden_state": jnp.concatenate([text, layout], axis=-1),
+            "semantic_output": text,
+            "layout_output": layout,
+        }

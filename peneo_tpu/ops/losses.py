@@ -1,0 +1,122 @@
+"""Classification losses for the pair heads (fp32, shape-static, jit-safe).
+
+Parity targets (reference: model/custom_loss.py):
+- plain class-weighted CE with torch "weighted mean" reduction
+  (sum(w[t_i] * ce_i) / sum(w[t_i]))                          :189-202
+- OHEM: per-element weighted CE, split positives (t != 0) /
+  negatives (t == 0), keep top-k hardest of each, mean over
+  kept count                                                   :234-288
+
+The reference OHEM path contains an indexing bug (custom_loss.py:262-263,
+272-273: it re-indexes the already-sorted loss array with indices into the
+*unsorted* array, keeping a scrambled subset instead of the top-k). It is
+dormant — shipped configs disable OHEM (-1/-1). We implement the *intended*
+top-k semantics here; the quirk is documented, not reproduced.
+
+The reference upcasts logits to fp32 before CE (custom_loss.py:197,205); we do
+the same so bf16 training matches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_element_ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Unweighted per-element cross-entropy, fp32."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+
+
+def weighted_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    return_sum_and_weight: bool = False,
+):
+    """Class-weighted mean CE with torch semantics.
+
+    ``mask`` selects which positions participate (e.g. the upper triangle of
+    the dense pair grid — equivalent to the reference's flattened triu
+    sequence). torch's weighted 'mean' divides by the sum of the selected
+    class weights, not the count.
+    """
+    ce = _per_element_ce(logits, targets)
+    w = class_weights.astype(jnp.float32)[targets]
+    if mask is not None:
+        w = w * mask.astype(jnp.float32)
+    num = (ce * w).sum()
+    den = w.sum()
+    if return_sum_and_weight:
+        return num, den
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _top_k_sum(values: jnp.ndarray, mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sum of the k largest masked values; returns (sum, kept_count).
+
+    kept_count = min(k, #selected) as in the reference (custom_loss.py:258,268).
+    """
+    flat = jnp.where(mask, values, -jnp.inf).ravel()
+    k_static = min(k, flat.shape[0])
+    top = jax.lax.top_k(flat, k_static)[0]
+    finite = jnp.isfinite(top)
+    n_avail = mask.sum()
+    kept = jnp.minimum(n_avail, k_static)
+    return jnp.where(finite, top, 0.0).sum(), kept
+
+
+def ohem_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_hard_positive: int,
+    num_hard_negative: int,
+) -> jnp.ndarray:
+    """Online hard example mining CE.
+
+    Per-element *weighted* CE (torch reduction='none' with ``weight`` scales
+    each element by w[target]); positives are targets != 0, negatives == 0;
+    keep the top-k hardest of each; mean over total kept.
+
+    If a k is <= 0, all elements of that class group are kept (matching the
+    intended reference behavior when only one side uses OHEM).
+    """
+    ce = _per_element_ce(logits, targets)
+    w = class_weights.astype(jnp.float32)[targets]
+    ce_w = ce * w
+    valid = jnp.ones_like(ce_w, dtype=bool) if mask is None else mask.astype(bool)
+    pos_mask = (targets != 0) & valid
+    neg_mask = (targets == 0) & valid
+
+    def group(m, k):
+        if k is None or k <= 0:
+            s = jnp.where(m, ce_w, 0.0).sum()
+            return s, m.sum()
+        return _top_k_sum(ce_w, m, k)
+
+    pos_sum, pos_n = group(pos_mask, num_hard_positive)
+    neg_sum, neg_n = group(neg_mask, num_hard_negative)
+    return (pos_sum + neg_sum) / jnp.maximum(pos_n + neg_n, 1).astype(jnp.float32)
+
+
+def peneo_head_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    num_hard_positive: int = -1,
+    num_hard_negative: int = -1,
+) -> jnp.ndarray:
+    """Dispatch between plain weighted CE and OHEM, mirroring
+    CrossEntropyLossOHEM.forward (reference: model/custom_loss.py:189-210)."""
+    if num_hard_positive == -1 and num_hard_negative == -1:
+        return weighted_cross_entropy(logits, targets, class_weights, mask)
+    return ohem_cross_entropy(
+        logits, targets, class_weights, mask, num_hard_positive, num_hard_negative
+    )

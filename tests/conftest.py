@@ -6,10 +6,17 @@ This is the standard way to test pjit/shard_map logic without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's 'axon' (remote TPU)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize imports jax and registers the axon (TPU)
+# PJRT plugin before this file runs, so the env var alone is not enough —
+# switch the already-imported jax to CPU before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
