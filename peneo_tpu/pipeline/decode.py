@@ -1,0 +1,227 @@
+"""Host-side decoding: dense pair-head outputs → key/value pairs.
+
+The device half of decoding (softmax/argmax/score over the (L, L) pair grids)
+runs inside the jitted model (models/decoder.py, inference path). This module
+takes those small integer/float maps and runs the inherently sequential
+graph-walk on host.
+
+Behavioral parity targets (reference: pipeline/decode.py):
+- ``build_link_map``     ↔ parse_matrix_spots             :9-69
+  (tie behavior: first-seen wins on equal scores; top-score mode enforces a
+  bijection head↔tail by resolving collisions on score)
+- ``decode_sample``      ↔ sample_decode_peneo            :72-378
+  (line map, grouping maps, entity-linking chain walk with the LE/LG
+  cross-validation and the tail-to-tail final check)
+- ``decode_batch``       ↔ decode_peneo                   :381-511
+
+Known reference quirks preserved: empty samples are *not* skipped (the
+reference's guard tests the batch list, pipeline/decode.py:471); duplicate
+(key, value) pairs may be appended once per h2h spot.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.box_utils import merge_bbox
+from ..data.tagging import matrix_to_spots
+
+HEAD_NAMES = (
+    "line_extraction",
+    "ent_linking_h2h",
+    "ent_linking_t2t",
+    "line_grouping_h2h",
+    "line_grouping_t2t",
+)
+
+Spot = Tuple[int, int, int, float]  # (head, tail, tag, score)
+
+_MAX_CHAIN = 1000  # runaway-chain guard (reference: pipeline/decode.py:260-261)
+
+
+def build_link_map(
+    spots: Sequence[Spot],
+    top_score_only: bool = False,
+    triu_mode: bool = False,
+    score_thresh: float = 0.0,
+) -> Dict[int, object]:
+    """Spots → head→tail map.
+
+    - ``triu_mode``: tag 2 marks a flipped (lower-triangle) link; un-flip it.
+    - ``top_score_only=False``: head → list of tails (append order = spot order).
+    - ``top_score_only=True``: bijective head → tail. Per head keep the
+      best-scoring tail, then per tail keep the best-scoring head; ties keep
+      the first seen (strict > comparisons).
+    """
+    if not top_score_only:
+        out: Dict[int, List[int]] = {}
+        for h, t, tag, score in spots:
+            if tag == 0 or score < score_thresh:
+                continue
+            if triu_mode and tag == 2:
+                h, t = t, h
+            out.setdefault(h, []).append(t)
+        return out
+
+    best_tail: Dict[int, Tuple[int, float]] = {}
+    for h, t, tag, score in spots:
+        if tag == 0 or score < score_thresh:
+            continue
+        if triu_mode and tag == 2:
+            h, t = t, h
+        if h not in best_tail or score > best_tail[h][1]:
+            best_tail[h] = (t, score)
+    best_head: Dict[int, Tuple[int, float]] = {}
+    for h, (t, s) in best_tail.items():
+        if t not in best_head or s > best_head[t][1]:
+            best_head[t] = (h, s)
+    return {h: t for t, (h, _) in best_head.items()}
+
+
+def _walk_chain(
+    first_head: int,
+    first_tail: int,
+    text: Sequence[str],
+    le_map: Dict[int, int],
+    lg_head_map: Dict[int, int],
+    lg_tail_map: Dict[int, int],
+    bbox: Optional[Sequence[Sequence[float]]],
+):
+    """Follow the line-grouping chain from an entity's first line.
+
+    Each hop requires agreement between line extraction (tail of the next
+    head) and line grouping (t2t successor of the current tail) — reference:
+    pipeline/decode.py:258-296. Returns the collected text pieces, merged
+    boxes, and the final line's head/tail indices.
+    """
+    pieces = [("".join(text[first_head:first_tail + 1]))]
+    boxes = [merge_bbox(bbox[first_head:first_tail + 1])] if bbox is not None else None
+    cur_head, cur_tail = first_head, first_tail
+    nxt = lg_head_map.get(cur_head)
+    hops = 0
+    while nxt is not None:
+        hops += 1
+        if hops > _MAX_CHAIN or nxt == cur_head:
+            break
+        le_tail = le_map.get(nxt)
+        if le_tail is None or lg_tail_map.get(cur_tail) != le_tail:
+            break
+        pieces.append("".join(text[nxt:le_tail + 1]))
+        if boxes is not None:
+            boxes.append(merge_bbox(bbox[nxt:le_tail + 1]))
+        cur_head, cur_tail = nxt, le_tail
+        nxt = lg_head_map.get(cur_head)
+    return pieces, boxes, cur_head, cur_tail
+
+
+def decode_sample(
+    text: Sequence[str],
+    spots: Dict[str, Sequence[Spot]],
+    bbox: Optional[Sequence[Sequence[float]]] = None,
+    decode_gt: bool = False,
+    score_thresh: float = 0.0,
+) -> Tuple:
+    """Decode one sample's five spot lists into kv pairs + lines + link maps.
+
+    Returns the same 7-tuple as the reference sample_decode_peneo:
+    (kv_pairs, lines, le_map, el_head_map, el_tail_map, lg_head_map,
+    lg_tail_map). With ``bbox`` given, lines are (text, box) and kv pairs are
+    (key_text, value_text, key_box, value_box).
+    """
+    top = not decode_gt
+    le_map = build_link_map(spots["line_extraction"], top, False, score_thresh)
+    lg_tail_map = build_link_map(spots["line_grouping_t2t"], top, True, score_thresh)
+    lg_head_map = build_link_map(spots["line_grouping_h2h"], top, True, score_thresh)
+    if decode_gt:
+        # gt path builds list maps then keeps the first entry
+        le_map = {k: v[0] for k, v in le_map.items()}
+        lg_tail_map = {k: v[0] for k, v in lg_tail_map.items()}
+        lg_head_map = {k: v[0] for k, v in lg_head_map.items()}
+
+    lines = []
+    for start, end in le_map.items():
+        line_text = "".join(text[start:end + 1])
+        if bbox is not None:
+            lines.append((line_text, merge_bbox(bbox[start:end + 1])))
+        else:
+            lines.append(line_text)
+
+    el_tail_map = build_link_map(spots["ent_linking_t2t"], False, True, score_thresh)
+    el_head_map: Dict[int, List[int]] = {}
+    kv_pairs = []
+    for h, t, tag, score in spots["ent_linking_h2h"]:
+        if tag == 0 or score < score_thresh:
+            continue
+        key_head, value_head = (t, h) if tag == 2 else (h, t)
+        el_head_map.setdefault(key_head, []).append(value_head)
+
+        key_first_tail = le_map.get(key_head)
+        value_first_tail = le_map.get(value_head)
+        if key_first_tail is None or value_first_tail is None:
+            continue
+
+        key_pieces, key_boxes, _, key_last_tail = _walk_chain(
+            key_head, key_first_tail, text, le_map, lg_head_map, lg_tail_map, bbox)
+        val_pieces, val_boxes, _, val_last_tail = _walk_chain(
+            value_head, value_first_tail, text, le_map, lg_head_map, lg_tail_map, bbox)
+
+        # final cross-check: entity-linking t2t must connect the two chain tails
+        valid_tails = el_tail_map.get(key_last_tail)
+        if valid_tails is not None and val_last_tail in valid_tails:
+            key_text = "".join(key_pieces).strip()
+            value_text = "".join(val_pieces).strip()
+            if bbox is not None:
+                kv_pairs.append((key_text, value_text,
+                                 merge_bbox(key_boxes), merge_bbox(val_boxes)))
+            else:
+                kv_pairs.append((key_text, value_text))
+
+    return kv_pairs, lines, le_map, el_head_map, el_tail_map, lg_head_map, lg_tail_map
+
+
+def spots_from_device_outputs(
+    head_outputs: Dict[str, Dict[str, np.ndarray]],
+    sample_idx: int,
+    seq_len: int,
+) -> Dict[str, List[Spot]]:
+    """Extract per-head spot lists for one sample from the device argmax/score
+    maps (models/decoder.py inference path), restricted to ``seq_len``."""
+    out = {}
+    for name in HEAD_NAMES:
+        tags = np.asarray(head_outputs[name]["tags"][sample_idx])[:seq_len, :seq_len]
+        scores = np.asarray(head_outputs[name]["scores"][sample_idx])[:seq_len, :seq_len]
+        out[name] = matrix_to_spots(tags, scores)
+    return out
+
+
+def spots_from_label_matrices(
+    labels: Dict[str, np.ndarray], sample_idx: int, seq_len: int
+) -> Dict[str, List[Spot]]:
+    """Ground-truth spot lists from dense label matrices (score = 1)."""
+    return {
+        name: matrix_to_spots(np.asarray(labels[name][sample_idx])[:seq_len, :seq_len])
+        for name in HEAD_NAMES
+    }
+
+
+def decode_batch(
+    texts: Sequence[Sequence[str]],
+    pred_outputs: Dict[str, Dict[str, np.ndarray]],
+    gt_labels: Dict[str, np.ndarray],
+    seq_lens: Sequence[int],
+    fnames: Sequence[str],
+    score_thresh: float = 0.0,
+):
+    """Decode predictions and ground truth for a batch (reference decode_peneo,
+    pipeline/decode.py:381-511). Returns (pred_results, gt_results, fnames)."""
+    all_pred, all_gt, all_fnames = [], [], []
+    for i, (text, seq_len, fname) in enumerate(zip(texts, seq_lens, fnames)):
+        pred_spots = spots_from_device_outputs(pred_outputs, i, seq_len)
+        gt_spots = spots_from_label_matrices(gt_labels, i, seq_len)
+        all_pred.append(decode_sample(text, pred_spots, decode_gt=False,
+                                      score_thresh=score_thresh))
+        all_gt.append(decode_sample(text, gt_spots, decode_gt=True))
+        all_fnames.append(fname)
+    return all_pred, all_gt, all_fnames
