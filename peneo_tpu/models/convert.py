@@ -145,6 +145,24 @@ def convert_peneo_checkpoint(sd: Dict[str, np.ndarray], cfg: PEneoConfig) -> Dic
     return params
 
 
+def merge_params(full: Dict, partial: Dict) -> Dict:
+    """Overlay a partial param tree (e.g. a converted backbone) onto freshly
+    initialized params; shapes must agree where paths overlap."""
+    out = {}
+    for k, v in full.items():
+        if k in partial:
+            if isinstance(v, dict):
+                out[k] = merge_params(v, partial[k])
+            else:
+                pv = partial[k]
+                assert tuple(pv.shape) == tuple(v.shape), (
+                    f"shape mismatch at {k}: {pv.shape} vs {v.shape}")
+                out[k] = pv
+        else:
+            out[k] = v
+    return out
+
+
 def torch_state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
     """Detach a torch state dict to numpy (host-side, no torch downstream)."""
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}

@@ -1,0 +1,96 @@
+"""Orbax checkpointing: params + optimizer state + step + data epoch,
+keep-last-N and best-by-metric retention.
+
+Replaces HF Trainer checkpointing (SURVEY.md §5: ``--save_strategy steps
+--save_steps N --save_total_limit K --load_best_model_at_end
+--metric_for_best_model f1``; reference: start/run_rfund.py:142-159 resume
+via get_last_checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        save_total_limit: Optional[int] = None,
+        best_metric_key: Optional[str] = None,
+    ) -> None:
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_total_limit,
+            best_fn=(lambda m: m.get(best_metric_key, -1.0))
+            if best_metric_key else None,
+            best_mode="max" if best_metric_key else None,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None,
+             extra: Optional[Dict[str, Any]] = None) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(step, args=ocp.args.StandardSave(payload),
+                       metrics=metrics or {})
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore into the shape/sharding of ``state_template``."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state_template.params,
+            "opt_state": state_template.opt_state,
+            "step": state_template.step,
+            "rng": state_template.rng,
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        return state_template._replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            rng=restored["rng"],
+        )
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params_msgpack(params, path: str) -> None:
+    """Small-footprint single-file param export (deployment artifact)."""
+    from flax.serialization import to_bytes
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        f.write(to_bytes(params))
+
+
+def load_params_msgpack(template, path: str):
+    from flax.serialization import from_bytes
+
+    with open(path, "rb") as f:
+        return from_bytes(template, f.read())

@@ -1,0 +1,244 @@
+"""Serving: image + line-level OCR → key/value pairs.
+
+TPU-native equivalent of the reference's deploy/inference.py:110-464 (and its
+onnxruntime twin deploy/inference_onnx.py): the deployment artifact is the
+jitted apply function itself (fixed shapes, bf16) — no ONNX export step is
+needed; see tools/export_artifact.py for the serialized-compilation path.
+
+Preprocessing parity (deploy/inference.py:205-373): OCR JSON accepts
+``text|ocr`` and ``bbox|box`` keys (4- or 8-point boxes), lines are
+reading-order sorted, cleaned with the deploy-variant text replacement
+(:182-203 — extends the RFUND cleanup with quotes/em-dash/™/§/¢), tokenized
+per line, truncated at ``max_token_len`` with a strict ``>`` check (the
+datasets use ``>=`` — both reproduced faithfully), empty lines skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import PEneoConfig
+from ..data.box_utils import box_two_point_convert, normalize_bbox, sort_boxes, string_f2h
+from ..registry import get_backbone_info
+from . import decode as dec
+
+_DEPLOY_REPLACEMENTS = (
+    ("☐", ""), ("☑", ""), ("", ""), ("", ""),
+    ("Tοpic", "Topic"),
+    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"), ("ü", "u"),
+    ("–", "-"), ("‘", "'"), ("’", "'"), ("“", '"'), ("—", "-"),
+    ("™", "TM"), ("§", ""), ("¢", ""),
+)
+
+
+def deploy_text_cleanup(text: str) -> str:
+    for src, dst in _DEPLOY_REPLACEMENTS:
+        text = text.replace(src, dst)
+    return string_f2h(text)
+
+
+def read_ocr_json(path: str) -> Tuple[List[str], List[List[float]]]:
+    with open(path, encoding="utf-8") as f:
+        ocr = json.load(f)
+    if isinstance(ocr, dict) and "texts" in ocr:
+        ocr = ocr["texts"]
+    texts, boxes = [], []
+    for line in ocr:
+        texts.append(line.get("ocr", line.get("text")))
+        boxes.append(box_two_point_convert(line.get("bbox", line.get("box"))))
+    return texts, boxes
+
+
+class InferenceService:
+    """Load a trained PEneo-TPU model and run page → kv-pair extraction."""
+
+    def __init__(
+        self,
+        model_name_or_path: str,
+        tokenizer=None,
+        max_seq_len: Optional[int] = None,
+        batch_size: int = 1,
+        dtype: str = "bfloat16",
+        score_thresh: float = 0.0,
+    ) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.peneo import PEneoModel
+
+        self.cfg = PEneoConfig.from_pretrained(model_name_or_path)
+        if max_seq_len:
+            self.cfg.max_seq_len = max_seq_len
+        self.info = get_backbone_info(self.cfg.backbone_name)
+        self.max_token_len = min(
+            self.info.max_token_len,
+            self.cfg.max_seq_len - int(self.info.add_cls_token)
+            - int(self.info.add_sep_token))
+        self.score_thresh = score_thresh
+        self.batch_size = batch_size
+
+        if tokenizer is None:
+            from ..registry import load_tokenizer
+
+            tokenizer = load_tokenizer(self.info, model_name_or_path)
+        self.tokenizer = tokenizer
+        self.fetcher = self.info.tokenizer_fetcher
+
+        self.model = PEneoModel(
+            self.cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+        self.params = load_params(model_name_or_path, self.cfg)
+        if self.params is None:
+            raise FileNotFoundError(
+                f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
+
+        self.image_loader = None
+        if self.info.has_visual_embeds:
+            from ..data.image_processing import make_image_loader
+
+            self.image_loader = make_image_loader(self.cfg)
+
+        self._forward = jax.jit(
+            lambda p, ids, bbox, attn, image: self.model.apply(
+                {"params": p}, ids, bbox, attn, image=image,
+                deterministic=True))
+        self._jax = jax
+
+    # ------------------------------------------------------------- preprocess
+    def preprocess_page(self, image_path: str, ocr_path: Optional[str]):
+        """One page → (arrays dict, fetched token texts, per-token orig boxes)."""
+        from PIL import Image
+
+        with Image.open(image_path) as im:
+            image_w, image_h = im.size
+        line_texts, line_boxes = read_ocr_json(ocr_path)
+
+        order = sort_boxes(line_boxes)
+        texts: List[str] = []
+        input_ids: List[int] = []
+        bbox: List[List[int]] = []
+        orig_bbox: List[List[float]] = []
+        cursor = 0
+        for idx in order:
+            text = deploy_text_cleanup(line_texts[idx])
+            tokens = self.tokenizer.tokenize(text)
+            if len(tokens) == 0:
+                continue
+            n = len(tokens)
+            if cursor + n > self.max_token_len:  # deploy uses strict >
+                break
+            cursor += n
+            fetched = self.fetcher(text, tokens) if self.fetcher else tokens
+            norm = normalize_bbox(line_boxes[idx], (image_w, image_h))
+            orig_bbox.extend([list(line_boxes[idx])] * n)
+            bbox.extend([norm] * n)
+            texts.extend(fetched)
+            input_ids.extend(self.tokenizer.convert_tokens_to_ids(tokens))
+
+        if self.info.add_cls_token:
+            input_ids.insert(0, self.tokenizer.cls_token_id)
+            bbox.insert(0, [0, 0, 0, 0])
+            orig_bbox.insert(0, [0, 0, 0, 0])
+        if self.info.add_sep_token:
+            input_ids.append(self.tokenizer.sep_token_id)
+            bbox.append([0, 0, 0, 0])
+            orig_bbox.append([0, 0, 0, 0])
+
+        L = self.cfg.max_seq_len
+        n = len(input_ids)
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids_arr = np.full((L,), pad_id, dtype=np.int32)
+        ids_arr[:n] = input_ids
+        bbox_arr = np.zeros((L, 4), dtype=np.int32)
+        bbox_arr[:n] = bbox
+        attn_arr = np.zeros((L,), dtype=np.int32)
+        attn_arr[:n] = 1
+        arrays = {"input_ids": ids_arr, "bbox": bbox_arr,
+                  "attention_mask": attn_arr}
+        if self.image_loader is not None:
+            arrays["image"] = self.image_loader(image_path).astype(np.float32)
+        seq_len = n - int(self.info.add_cls_token)
+        return arrays, texts, orig_bbox[1 if self.info.add_cls_token else 0:], seq_len
+
+    # --------------------------------------------------------------- pipeline
+    def run_page(self, image_path: str, ocr_path: Optional[str]):
+        arrays, texts, orig_bbox, seq_len = self.preprocess_page(image_path, ocr_path)
+        batched = {k: v[None] for k, v in arrays.items()}
+        out = self._jax.device_get(self._forward(
+            self.params, batched["input_ids"], batched["bbox"],
+            batched["attention_mask"], batched.get("image")))
+        spots = dec.spots_from_device_outputs(out, 0, seq_len)
+        kv_pairs, lines, *_ = dec.decode_sample(
+            texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
+        return kv_pairs, lines
+
+    def run(self, image_dir: str, ocr_dir: str,
+            visualize_dir: Optional[str] = None) -> Dict[str, Dict]:
+        image_paths = sorted(
+            os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
+            if os.path.isdir(image_dir) else [image_dir]
+        ocr_paths = sorted(
+            os.path.join(ocr_dir, f) for f in os.listdir(ocr_dir)) \
+            if os.path.isdir(ocr_dir) else [ocr_dir]
+        assert len(image_paths) == len(ocr_paths), \
+            "image/OCR counts differ"
+        results = {}
+        total_t, n = 0.0, 0
+        for img, ocr in zip(image_paths, ocr_paths):
+            t0 = time.perf_counter()
+            kv_pairs, lines = self.run_page(img, ocr)
+            dt = time.perf_counter() - t0
+            total_t += dt
+            n += 1
+            results[os.path.basename(img)] = {
+                "kv_pairs": [
+                    {"key": k, "value": v,
+                     "key_box": [float(x) for x in kb],
+                     "value_box": [float(x) for x in vb]}
+                    for k, v, kb, vb in kv_pairs
+                ],
+                "lines": [{"text": t, "box": [float(x) for x in b]}
+                          for t, b in lines],
+                "seconds": dt,
+            }
+            if visualize_dir:
+                from ..utils.visualize import draw_page
+
+                os.makedirs(visualize_dir, exist_ok=True)
+                draw_page(img, kv_pairs, lines,
+                          os.path.join(visualize_dir, os.path.basename(img)))
+        if n:
+            print(f"[peneo] processed {n} pages, avg {total_t / n:.4f}s/page")
+        return results
+
+
+def load_params(path: str, cfg: PEneoConfig):
+    """Params from our msgpack export or a reference torch checkpoint."""
+    mp = os.path.join(path, "params.msgpack")
+    if os.path.exists(mp):
+        from flax.serialization import msgpack_restore
+
+        with open(mp, "rb") as f:
+            return msgpack_restore(f.read())
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        fp = os.path.join(path, name)
+        if not os.path.exists(fp):
+            continue
+        from ..models.convert import convert_peneo_checkpoint, \
+            torch_state_dict_to_numpy
+
+        if name.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(fp)
+        else:
+            import torch
+
+            sd = torch_state_dict_to_numpy(
+                torch.load(fp, map_location="cpu", weights_only=True))
+        return convert_peneo_checkpoint(sd, cfg)
+    return None

@@ -1,0 +1,241 @@
+"""Jitted training/eval steps + the two-group optimizer.
+
+Replaces the reference's HF Trainer internals (SURVEY.md §2.7):
+- optimizer: AdamW, linear warmup + linear decay, weight decay masked off
+  bias/LayerNorm params, decoder ("peneo_decoder") updates scaled by
+  ``peneo_downstream_speedup_ratio`` — exactly the reference's four param
+  groups (pipeline/trainer.py:275-354): scaling the whole AdamW update
+  (incl. its decoupled decay term) by s is identical to a group with lr×s.
+- train_step: value_and_grad over the 5-head loss; runs under jit on a
+  (dp, tp) mesh with sharded batch + param shardings from parallel/mesh.py —
+  the gradient psum over dp is inserted by XLA, not hand-written.
+- eval_step: inference path returning per-head argmax tags + scores (the
+  small device→host tensors the host decoder consumes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import PEneoConfig
+from ..models.peneo import PEneoModel
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def linear_schedule(lr: float, total_steps: int, warmup_ratio: float = 0.1,
+                    warmup_steps: Optional[int] = None):
+    warmup = warmup_steps if warmup_steps is not None else int(
+        total_steps * warmup_ratio)
+    if warmup <= 0:
+        return optax.linear_schedule(lr, 0.0, max(total_steps, 1))
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, lr, warmup),
+            optax.linear_schedule(lr, 0.0, max(total_steps - warmup, 1)),
+        ],
+        [warmup],
+    )
+
+
+def _is_no_decay(path) -> bool:
+    last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    # biases and LayerNorm scales are excluded from decay
+    # (reference: pipeline/trainer.py:277-282 ALL_LAYERNORM_LAYERS + "bias")
+    if last == "bias":
+        return True
+    parent = path[-2].key if len(path) > 1 and hasattr(path[-2], "key") else ""
+    return parent == "LayerNorm" or (last == "scale" and "LayerNorm" in parent)
+
+
+def _decay_mask(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not _is_no_decay(path), params)
+
+
+def _speedup_scales(params, ratio: float):
+    def scale(path, _):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        return ratio if "peneo_decoder" in names else 1.0
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def make_optimizer(
+    params,
+    lr: float,
+    total_steps: int,
+    warmup_ratio: float = 0.1,
+    weight_decay: float = 0.01,
+    downstream_speedup_ratio: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_grad_norm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    schedule = linear_schedule(lr, total_steps, warmup_ratio)
+    txs = []
+    if max_grad_norm is not None and max_grad_norm > 0:
+        txs.append(optax.clip_by_global_norm(max_grad_norm))
+    txs.append(optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay, mask=_decay_mask))
+    if downstream_speedup_ratio != 1.0:
+        def scale_update(updates, state, params=None):
+            def scale(path, u):
+                names = [p.key if hasattr(p, "key") else str(p) for p in path]
+                return u * downstream_speedup_ratio if "peneo_decoder" in names else u
+
+            return jax.tree_util.tree_map_with_path(scale, updates), state
+
+        txs.append(optax.GradientTransformation(
+            init=lambda _: optax.EmptyState(), update=scale_update))
+    return optax.chain(*txs)
+
+
+def create_train_state(cfg: PEneoConfig, model: PEneoModel, optimizer,
+                       sample_batch: Dict[str, Any], seed: int = 0,
+                       params=None) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    needs_init = params is None or isinstance(params, dict)
+    if needs_init:
+        init_rng, rng = jax.random.split(rng)
+        fresh = model.init(
+            {"params": init_rng, "dropout": init_rng},
+            sample_batch["input_ids"],
+            sample_batch["bbox"],
+            sample_batch.get("attention_mask"),
+            image=sample_batch.get("image"),
+            deterministic=True,
+        )["params"]
+        if params is not None:
+            # partial overlay: e.g. generate_peneo_weights outputs only the
+            # backbone subtree; the decoder keeps its fresh init
+            from ..models.convert import merge_params
+
+            params = merge_params(jax.device_get(fresh), params)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            params = fresh
+    opt_state = optimizer.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, rng=rng)
+
+
+def make_train_step(model: PEneoModel, optimizer):
+    """Returns train_step(state, batch) -> (state, metrics). Jit at call site
+    (with shardings) or via jax.jit directly for single-device."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch["bbox"],
+                batch.get("attention_mask"),
+                image=batch.get("image"),
+                labels=batch["labels"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return losses["total"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: PEneoModel, with_loss: bool = False):
+    def eval_step(params, batch: Dict[str, Any]):
+        out = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["bbox"],
+            batch.get("attention_mask"),
+            image=batch.get("image"),
+            deterministic=True,
+        )
+        if with_loss:
+            losses = model.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch["bbox"],
+                batch.get("attention_mask"),
+                image=batch.get("image"),
+                labels=batch["labels"],
+                deterministic=True,
+            )
+            return out, losses
+        return out
+
+    return eval_step
+
+
+def jit_train_step(model, optimizer):
+    """Jit the train step. Shardings flow from the *placement* of the inputs:
+    put params with parallel.mesh.param_shardings and batches with
+    batch_sharding before calling; jit + GSPMD propagate the rest (including
+    the matching opt_state layout and the dp gradient psum)."""
+    return jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+
+
+def shard_state(state: TrainState, mesh, shardings) -> TrainState:
+    """Place a TrainState on the mesh: params (and mirrored opt_state
+    moments) per the tp rules, scalars replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def put_like_params(tree):
+        # adam mu/nu pytrees mirror params; other leaves replicate
+        def put(path, leaf):
+            node = shardings
+            try:
+                for p in path:
+                    key = p.key if hasattr(p, "key") else str(p)
+                    node = node[key]
+                return jax.device_put(leaf, node)
+            except (KeyError, TypeError):
+                return jax.device_put(leaf, repl)
+
+        return jax.tree_util.tree_map_with_path(put, tree)
+
+    params = put_like_params(state.params)
+
+    def put_opt(leaf):
+        return jax.device_put(leaf, repl)
+
+    # opt_state: adam moments mirror param tree structure under .mu/.nu
+    def place_opt_state(os):
+        if hasattr(os, "mu") and hasattr(os, "nu"):
+            return os._replace(mu=put_like_params(os.mu),
+                               nu=put_like_params(os.nu))
+        if isinstance(os, tuple):
+            parts = [place_opt_state(x) for x in os]
+            return type(os)(*parts) if hasattr(os, "_fields") else tuple(parts)
+        return jax.tree_util.tree_map(put_opt, os)
+
+    opt_state = place_opt_state(state.opt_state)
+    return TrainState(step=jax.device_put(state.step, repl), params=params,
+                      opt_state=opt_state, rng=jax.device_put(state.rng, repl))
+

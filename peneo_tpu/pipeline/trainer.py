@@ -1,0 +1,235 @@
+"""PEneoTrainer: the full fine-tuning loop.
+
+Replaces the reference's ``PEneoTrainer(transformers.Trainer)``
+(pipeline/trainer.py:32-354) with a jitted-step loop:
+
+train: feed → sharded train_step (dp×tp mesh) → metric logging → periodic
+eval + checkpoint. eval: feed → jitted inference step (argmax tags + scores
+on device) → host decode (pipeline/decode.py) → KVPE metrics with multihost
+gather (pipeline/evaluation.py). Eval decodes incrementally per batch rather
+than accumulating all logits in RAM (fixes the reference's unbounded eval
+memory, pipeline/trainer.py:102-155).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import PEneoConfig
+from ..models.peneo import PEneoModel
+from ..parallel import mesh as pmesh
+from . import decode as dec
+from . import evaluation as ev
+from . import train as T
+from .checkpoint import CheckpointManager
+from .loader import DataFeed, batch_to_device
+
+
+@dataclass
+class TrainingArguments:
+    """Flag surface mirroring the reference's HF TrainingArguments subset
+    actually used (README.md:206-241)."""
+
+    output_dir: str = "output"
+    learning_rate: float = 5e-5
+    warmup_ratio: float = 0.1
+    max_steps: int = 25000
+    per_device_train_batch_size: int = 4
+    per_device_eval_batch_size: int = 16
+    weight_decay: float = 0.01
+    max_grad_norm: float = 1.0
+    logging_steps: int = 100
+    eval_steps: int = 1000
+    save_steps: int = 1000
+    save_total_limit: Optional[int] = 1
+    metric_for_best_model: Optional[str] = "f1"
+    start_eval_epoch: int = 0  # reference gates eval cost early in training
+    seed: int = 42
+    dp: Optional[int] = None
+    tp: int = 1
+    detail_eval: bool = False
+    save_eval_detail: bool = False
+    resume: bool = True
+
+
+class PEneoTrainer:
+    def __init__(
+        self,
+        cfg: PEneoConfig,
+        model: PEneoModel,
+        args: TrainingArguments,
+        train_dataset=None,
+        eval_dataset=None,
+        collator=None,
+        params=None,
+    ) -> None:
+        self.cfg = cfg
+        self.model = model
+        self.args = args
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.collator = collator
+        os.makedirs(args.output_dir, exist_ok=True)
+        self._log_file = open(os.path.join(args.output_dir, "log.jsonl"), "a")
+
+        self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp)
+        self.batch_sharding = pmesh.batch_sharding(self.mesh)
+
+        self.optimizer = T.make_optimizer(
+            None,
+            lr=args.learning_rate,
+            total_steps=args.max_steps,
+            warmup_ratio=args.warmup_ratio,
+            weight_decay=args.weight_decay,
+            downstream_speedup_ratio=cfg.peneo_downstream_speedup_ratio,
+            max_grad_norm=args.max_grad_norm,
+        )
+        self._train_step = T.jit_train_step(self.model, self.optimizer)
+        self._eval_step = jax.jit(T.make_eval_step(self.model))
+        self._params_init = params
+        self.state: Optional[T.TrainState] = None
+        self.ckpt = CheckpointManager(
+            os.path.join(args.output_dir, "checkpoints"),
+            save_total_limit=args.save_total_limit,
+            best_metric_key=args.metric_for_best_model,
+        )
+
+    # ------------------------------------------------------------------ utils
+    def log(self, record: Dict[str, Any]) -> None:
+        record = {k: (float(v) if hasattr(v, "item") else v)
+                  for k, v in record.items()}
+        record["time"] = time.time()
+        self._log_file.write(json.dumps(record) + "\n")
+        self._log_file.flush()
+        if jax.process_index() == 0:
+            brief = {k: (round(v, 5) if isinstance(v, float) else v)
+                     for k, v in record.items() if k != "time"}
+            print(f"[peneo] {brief}", flush=True)
+
+    def _global_batch(self, per_device: int) -> int:
+        return per_device * self.mesh.shape["dp"]
+
+    def _make_state(self, sample_batch) -> T.TrainState:
+        state = T.create_train_state(self.cfg, self.model, self.optimizer,
+                                     sample_batch, seed=self.args.seed,
+                                     params=self._params_init)
+        shardings = pmesh.param_shardings(state.params, self.mesh)
+        return T.shard_state(state, self.mesh, shardings)
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> None:
+        args = self.args
+        feed = DataFeed(
+            self.train_dataset,
+            self.collator,
+            batch_size=self._global_batch(args.per_device_train_batch_size),
+            shuffle=True,
+            seed=args.seed,
+        )
+        it = iter(feed)
+        first = next(it)
+        dev_batch = batch_to_device(first, self.batch_sharding)
+        if self.state is None:
+            self.state = self._make_state(dev_batch)
+            if args.resume:
+                restored = self.ckpt.restore(self.state)
+                if restored is not None:
+                    self.state = restored
+                    self.log({"event": "resumed",
+                              "step": int(jax.device_get(self.state.step))})
+
+        step = int(jax.device_get(self.state.step))
+        t_last = time.time()
+        seen_since_log = 0
+        while step < args.max_steps:
+            self.state, metrics = self._train_step(self.state, dev_batch)
+            step += 1
+            seen_since_log += dev_batch["input_ids"].shape[0]
+
+            if step % args.logging_steps == 0:
+                metrics = jax.device_get(metrics)
+                dt = time.time() - t_last
+                self.log({"step": step,
+                          **{f"loss/{k}": float(v) for k, v in metrics.items()},
+                          "throughput_samples_per_s": seen_since_log / dt})
+                t_last = time.time()
+                seen_since_log = 0
+
+            if args.eval_steps and step % args.eval_steps == 0 \
+                    and self.eval_dataset is not None:
+                eval_metrics = self.evaluate()
+                self.log({"step": step, **{f"eval/{k}": v
+                                           for k, v in eval_metrics.items()}})
+                if args.save_steps and step % args.save_steps == 0:
+                    self.ckpt.save(step, self.state, metrics=eval_metrics)
+            elif args.save_steps and step % args.save_steps == 0:
+                self.ckpt.save(step, self.state)
+
+            if step >= args.max_steps:
+                break
+            try:
+                nxt = next(it)
+            except StopIteration:
+                it = iter(feed)
+                nxt = next(it)
+            dev_batch = batch_to_device(nxt, self.batch_sharding)
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, score_thresh: float = 0.0) -> Dict[str, float]:
+        args = self.args
+        feed = DataFeed(
+            self.eval_dataset,
+            self.collator,
+            batch_size=self._global_batch(args.per_device_eval_batch_size),
+            shuffle=False,
+            drop_last=False,
+        )
+        params = self.state.params if self.state is not None else self._params_init
+        all_pred, all_gt, all_fname = [], [], []
+        n_eval = 0
+        t0 = time.time()
+        for batch in feed:
+            # static-shape jit: pad the ragged final batch up to full size
+            bsz = batch.input_ids.shape[0]
+            full = self._global_batch(args.per_device_eval_batch_size)
+            dev_batch = batch_to_device(batch, None if bsz != full
+                                        else self.batch_sharding)
+            out = self._eval_step(params, dev_batch)
+            out = jax.device_get(out)
+            preds, gts, fnames = dec.decode_batch(
+                batch.texts, out, batch.labels,
+                [int(s) for s in batch.seq_len], batch.fnames,
+                score_thresh=score_thresh)
+            all_pred.extend(preds)
+            all_gt.extend(gts)
+            all_fname.extend(fnames)
+            n_eval += bsz
+        calc = (ev.calculate_detail_kvpe_metric if args.detail_eval
+                else ev.calculate_kvpe_metric)
+        summary, detail = calc(all_pred, all_gt, all_fname,
+                               gather_fn=ev.multihost_gather)
+        summary = dict(summary)
+        summary["eval_samples_per_second"] = n_eval / (time.time() - t0)
+        if args.save_eval_detail and jax.process_index() == 0:
+            with open(os.path.join(args.output_dir, "detail.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(detail, f, ensure_ascii=False, indent=1)
+        return summary
+
+    # ------------------------------------------------------------------- save
+    def save_model(self) -> None:
+        from .checkpoint import save_params_msgpack
+
+        if self.state is None:
+            return
+        self.cfg.save_pretrained(self.args.output_dir)
+        save_params_msgpack(
+            jax.device_get(self.state.params),
+            os.path.join(self.args.output_dir, "params.msgpack"))

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Fine-tune / evaluate PEneo-TPU on RFUND.
+
+CLI surface mirrors the reference start/run_rfund.py (ModelArguments +
+DataArguments + the used TrainingArguments subset, start/run_rfund.py:23-81)
+so recipes transfer directly:
+
+    python start/run_rfund.py \
+        --model_name_or_path /path/to/peneo-weights \
+        --data_dir /path/to/rfund --language en \
+        --output_dir out --do_train --do_eval \
+        --max_steps 25000 --learning_rate 5e-5 --warmup_ratio 0.1 \
+        --per_device_train_batch_size 4 --per_device_eval_batch_size 16
+
+Extra TPU-native flags: --dp/--tp mesh shape, --dtype, --synthetic_data (run
+end-to-end on generated documents with the toy tokenizer — no downloads).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # model args (reference ModelArguments)
+    p.add_argument("--model_name_or_path", type=str, default=None)
+    p.add_argument("--backbone_name", type=str, default="lilt-infoxlm-base")
+    # data args (reference DataArguments)
+    p.add_argument("--data_dir", type=str, required=False)
+    p.add_argument("--language", type=str, default="en")
+    p.add_argument("--apply_box_aug", action="store_true")
+    p.add_argument("--detail_eval", action="store_true")
+    p.add_argument("--save_eval_detail", action="store_true")
+    # training args (HF TrainingArguments subset actually used)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--max_steps", type=int, default=25000)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=16)
+    p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--save_total_limit", type=int, default=1)
+    p.add_argument("--metric_for_best_model", type=str, default="f1")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_resume", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="generate a synthetic RFUND corpus + toy tokenizer")
+    p.add_argument("--synthetic_model", type=str, default="small",
+                   choices=["tiny", "small"],
+                   help="backbone size for --synthetic_data runs")
+    return p
+
+
+SYNTHETIC_MODEL_PRESETS = {
+    "tiny": dict(hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+                 intermediate_size=96),
+    "small": dict(hidden_size=240, num_hidden_layers=4, num_attention_heads=4,
+                  intermediate_size=480),
+}
+
+
+def setup(args, dataset_cls_name="rfund"):
+    """Shared run_rfund/run_sibr setup. Returns (cfg, model, datasets, collator,
+    params)."""
+    import jax.numpy as jnp
+
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.data.collator import PEneoCollator
+    from peneo_tpu.data.datasets import RFUNDDataset, SIBRDataset
+    from peneo_tpu.registry import get_backbone_info, load_tokenizer
+
+    params = None
+    if args.synthetic_data:
+        from peneo_tpu.data.synthetic import ToyTokenizer, write_rfund_dataset, \
+            write_sibr_dataset
+
+        data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
+        if dataset_cls_name == "rfund":
+            if not os.path.exists(os.path.join(data_dir, f"{args.language}.train.json")):
+                write_rfund_dataset(data_dir, args.language, n_train=64, n_val=16)
+        else:
+            if not os.path.exists(os.path.join(data_dir, "train.txt")):
+                write_sibr_dataset(data_dir, n_train=64, n_test=16)
+        tokenizer = ToyTokenizer()
+        from peneo_tpu.data.fetchers import fetch_xlm
+
+        fetcher = fetch_xlm
+        info = get_backbone_info(args.backbone_name)
+        preset = SYNTHETIC_MODEL_PRESETS[args.synthetic_model]
+        cfg = PEneoConfig(
+            backbone_name=args.backbone_name,
+            backbone_config=LiltConfig(
+                vocab_size=tokenizer.vocab_size, pad_token_id=0,
+                **preset).to_dict(),
+            peneo_category_weights=[1.0, 10.0, 10.0],
+            peneo_downstream_speedup_ratio=30.0,
+            max_seq_len=args.max_seq_len,
+            dtype=args.dtype,
+        )
+    else:
+        assert args.model_name_or_path, "--model_name_or_path required"
+        cfg = PEneoConfig.from_pretrained(args.model_name_or_path)
+        cfg.max_seq_len = args.max_seq_len
+        cfg.dtype = args.dtype
+        info = get_backbone_info(cfg.backbone_name or args.backbone_name)
+        tokenizer = load_tokenizer(info, args.model_name_or_path)
+        fetcher = info.tokenizer_fetcher
+        params = _load_params(args.model_name_or_path, cfg)
+
+    from peneo_tpu.models.peneo import PEneoModel
+
+    model = PEneoModel(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                       else jnp.float32)
+
+    effective_budget = args.max_seq_len - int(info.add_cls_token) \
+        - int(info.add_sep_token)
+    ds_kwargs = dict(
+        tokenizer=tokenizer, tokenizer_fetcher=fetcher,
+        max_token_len=min(info.max_token_len, effective_budget + 1),
+        add_cls_token=info.add_cls_token,
+        add_sep_token=info.add_sep_token,
+    )
+    if dataset_cls_name == "rfund":
+        data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
+        train_ds = RFUNDDataset(data_dir, "train", args.language,
+                                apply_box_aug=args.apply_box_aug, **ds_kwargs)
+        eval_ds = RFUNDDataset(data_dir, "dev", args.language, **ds_kwargs)
+    else:
+        data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
+        train_ds = SIBRDataset(data_dir, "train",
+                               apply_box_aug=args.apply_box_aug, **ds_kwargs)
+        eval_ds = SIBRDataset(data_dir, "test", **ds_kwargs)
+
+    image_loader = None
+    if get_family(cfg) in ("layoutlmv3", "layoutlmv2"):
+        from peneo_tpu.data.image_processing import make_image_loader
+
+        image_loader = make_image_loader(cfg)
+    collator = PEneoCollator(
+        max_seq_len=args.max_seq_len,
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+        add_cls_token=info.add_cls_token,
+        image_loader=image_loader,
+    )
+    return cfg, model, train_ds, eval_ds, collator, params
+
+
+def get_family(cfg):
+    try:
+        return cfg.backbone_family()
+    except ValueError:
+        return "lilt"
+
+
+def _load_params(path, cfg):
+    """Load params: our full/backbone-only msgpack exports or a reference
+    torch checkpoint (both return dict trees; partial trees are overlaid on a
+    fresh init by create_train_state)."""
+    from flax.serialization import msgpack_restore
+
+    for name in ("params.msgpack", "backbone_params.msgpack"):
+        mp = os.path.join(path, name)
+        if os.path.exists(mp):
+            with open(mp, "rb") as f:
+                return msgpack_restore(f.read())
+    from peneo_tpu.pipeline.infer import load_params
+
+    return load_params(path, cfg)
+
+
+def main(argv=None, dataset_cls_name="rfund"):
+    args = build_argparser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    cfg, model, train_ds, eval_ds, collator, params = setup(args, dataset_cls_name)
+
+    from peneo_tpu.pipeline.trainer import PEneoTrainer, TrainingArguments
+
+    targs = TrainingArguments(
+        output_dir=args.output_dir,
+        learning_rate=args.learning_rate,
+        warmup_ratio=args.warmup_ratio,
+        max_steps=args.max_steps,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        per_device_eval_batch_size=args.per_device_eval_batch_size,
+        weight_decay=args.weight_decay,
+        logging_steps=args.logging_steps,
+        eval_steps=args.eval_steps,
+        save_steps=args.save_steps,
+        save_total_limit=args.save_total_limit,
+        metric_for_best_model=args.metric_for_best_model,
+        seed=args.seed,
+        dp=args.dp,
+        tp=args.tp,
+        detail_eval=args.detail_eval,
+        save_eval_detail=args.save_eval_detail,
+        resume=not args.no_resume,
+    )
+    trainer = PEneoTrainer(cfg, model, targs, train_ds, eval_ds, collator,
+                           params=params)
+    if args.do_train:
+        trainer.train()
+        trainer.save_model()
+    if args.do_eval:
+        metrics = trainer.evaluate()
+        trainer.log({"event": "final_eval", **metrics})
+        with open(os.path.join(args.output_dir, "eval_results.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        return metrics
+
+
+if __name__ == "__main__":
+    main()
