@@ -124,9 +124,13 @@ def main():
     rng = np.random.default_rng(0)
     ids, bbox, attn = _inputs(rng, B)
 
-    init_rng = jax.random.PRNGKey(0)
-    params = model.init(init_rng, ids[:1], bbox[:1], attn[:1],
-                        deterministic=True)["params"]
+    # zeros params via eval_shape: a real init would compile a second full
+    # forward+init graph just to produce weights the benchmark doesn't need
+    pshape = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids[:1], bbox[:1], attn[:1],
+                           deterministic=True)["params"])
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), pshape)
 
     @jax.jit
     def forward(params, ids, bbox, attn):
