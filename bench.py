@@ -137,16 +137,22 @@ def main():
         return model.apply({"params": params}, ids, bbox, attn,
                            deterministic=True)
 
-    out = forward(params, ids, bbox, attn)
-    jax.block_until_ready(out)  # compile + warmup
-    out = forward(params, ids, bbox, attn)
-    jax.block_until_ready(out)
+    def run_once(ids_in):
+        """One serving step: forward + fetch the compact spot outputs to host
+        (what a real pipeline consumes). The host fetch is the
+        synchronization point — block_until_ready alone does not reliably
+        block on experimental PJRT transports."""
+        out = forward(params, ids_in, bbox, attn)
+        return jax.device_get(out)
+
+    run_once(ids)  # compile
+    run_once(ids)  # warmup
 
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
-        out = forward(params, ids, bbox, attn)
-    jax.block_until_ready(out)
+        host_out = run_once(ids)
     dt = time.perf_counter() - t0
+    del host_out
     pages_per_sec = B * N_ITERS / dt
 
     print(json.dumps({

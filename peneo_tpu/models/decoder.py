@@ -133,6 +133,7 @@ class PEneoDecoder(nn.Module):
         labels: Optional[Dict[str, jnp.ndarray]] = None,  # head → (B, Ld, Ld)
         deterministic: bool = True,
         return_logits: bool = False,
+        pallas_head_weights=None,  # stacked (w1, b1, w2, b2) → fused kernel
     ):
         cfg = self.cfg
         bc = cfg.backbone_config or {}
@@ -217,6 +218,34 @@ class PEneoDecoder(nn.Module):
             return losses
 
         # inference / eval path
+        compact_k = cfg.max_spots_per_head
+        if pallas_head_weights is not None and not return_logits:
+            from ..ops.pair_head import pair_head_infer
+
+            assert cfg.peneo_classifier_num_layers == 2, \
+                "pallas pair head supports the default 2-layer classifiers"
+            # kernel wants L divisible by its tiles; Lp already is for 128
+            Lk = ((Lp + 127) // 128) * 128
+            if Lk != Lp:
+                a = jnp.pad(a, [(0, 0), (0, Lk - Lp), (0, 0)])
+                b_full = jnp.pad(b, [(0, 0), (0, Lk - Lp), (0, 0)])
+            else:
+                b_full = b
+            w1, b1, w2, b2 = pallas_head_weights
+            k_tags, k_scores = pair_head_infer(
+                a.astype(self.dtype), b_full.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype))
+            out = {}
+            for hi, name in enumerate(HEAD_NAMES):
+                t = k_tags[hi][:, :Ld, :Ld]
+                s = k_scores[hi][:, :Ld, :Ld]
+                if compact_k > 0:
+                    out[name] = compact_spots(t, s, compact_k)
+                else:
+                    out[name] = {"tags": t, "scores": s}
+            return out
+
         tags = {name: [] for name in HEAD_NAMES}
         scores = {name: [] for name in HEAD_NAMES}
         logits_out = {name: [] for name in HEAD_NAMES} if return_logits else None
@@ -238,11 +267,43 @@ class PEneoDecoder(nn.Module):
         for name in HEAD_NAMES:
             t = jnp.concatenate(tags[name], axis=1)[:, :Ld, :Ld]
             s = jnp.concatenate(scores[name], axis=1)[:, :Ld, :Ld]
-            out[name] = {"tags": t, "scores": s}
+            if compact_k > 0 and not return_logits:
+                out[name] = compact_spots(t, s, compact_k)
+            else:
+                out[name] = {"tags": t, "scores": s}
             if return_logits:
                 out[name]["logits"] = jnp.concatenate(
                     logits_out[name], axis=1)[:, :Ld, :Ld]
         return out
+
+
+def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int):
+    """Dense (B, L, L) argmax maps → top-k nonzero triu spots per sample.
+
+    TPU-native serving design: the dense maps are O(L²) per head per sample
+    (~10 MB/page for all five heads) — far too much device→host traffic per
+    page; the nonzero spots are what the host parser actually consumes. We
+    keep the k highest-scoring nonzero upper-triangular positions on device
+    and ship only (idx, tag, score, count). The host restores row-major spot
+    order by sorting indices (pipeline/decode.py), preserving the reference's
+    first-seen tie semantics exactly; ``count`` flags overflow (k too small).
+    """
+    B, L, _ = tags.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    valid = (rows <= cols)[None] & (tags != 0)
+    k = min(k, L * L)
+    flat_scores = jnp.where(valid, scores, -1.0).reshape(B, L * L)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_tags = jnp.take_along_axis(tags.reshape(B, L * L), top_idx, axis=1)
+    count = valid.reshape(B, L * L).sum(axis=1)
+    return {
+        "spot_idx": top_idx.astype(jnp.int32),      # flat i*L + j
+        "spot_tag": top_tags.astype(jnp.int8),
+        "spot_score": top_scores,                   # -1 marks empty slots
+        "spot_count": count.astype(jnp.int32),
+        "seq_len": jnp.full((B,), L, jnp.int32),
+    }
 
 
 def _ce_sums(logits, targets, class_weights, mask):

@@ -63,6 +63,7 @@ class PEneoModel(nn.Module):
         labels: Optional[Dict[str, jnp.ndarray]] = None,
         deterministic: bool = True,
         return_logits: bool = False,
+        pallas_head_weights=None,
     ):
         cfg = self.cfg
         fam = cfg.backbone_family()
@@ -90,4 +91,5 @@ class PEneoModel(nn.Module):
 
         decoder = PEneoDecoder(cfg, self.dtype, name="peneo_decoder")
         return decoder(hidden, labels=labels, deterministic=deterministic,
-                       return_logits=return_logits)
+                       return_logits=return_logits,
+                       pallas_head_weights=pallas_head_weights)

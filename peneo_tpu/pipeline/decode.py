@@ -186,13 +186,41 @@ def spots_from_device_outputs(
     sample_idx: int,
     seq_len: int,
 ) -> Dict[str, List[Spot]]:
-    """Extract per-head spot lists for one sample from the device argmax/score
-    maps (models/decoder.py inference path), restricted to ``seq_len``."""
+    """Extract per-head spot lists for one sample from the device outputs,
+    restricted to ``seq_len``. Accepts either the dense argmax/score maps or
+    the compact top-k spot format (models/decoder.py compact_spots); compact
+    spots are re-sorted by flat index to restore the row-major shaking order
+    the reference parsers depend on."""
     out = {}
     for name in HEAD_NAMES:
-        tags = np.asarray(head_outputs[name]["tags"][sample_idx])[:seq_len, :seq_len]
-        scores = np.asarray(head_outputs[name]["scores"][sample_idx])[:seq_len, :seq_len]
-        out[name] = matrix_to_spots(tags, scores)
+        head = head_outputs[name]
+        if "spot_idx" in head:
+            idx = np.asarray(head["spot_idx"][sample_idx])
+            tag = np.asarray(head["spot_tag"][sample_idx])
+            score = np.asarray(head["spot_score"][sample_idx])
+            grid = int(np.asarray(head["seq_len"][sample_idx]))
+            count = int(np.asarray(head["spot_count"][sample_idx]))
+            if count > len(idx):
+                import warnings
+
+                warnings.warn(
+                    f"{name}: {count} spots exceed max_spots_per_head="
+                    f"{len(idx)}; lowest-scoring spots dropped")
+            keep = score >= 0
+            ii = idx[keep] // grid
+            jj = idx[keep] % grid
+            tg, sc = tag[keep], score[keep]
+            in_range = (ii < seq_len) & (jj < seq_len)
+            order = np.argsort(idx[keep][in_range], kind="stable")
+            out[name] = [
+                (int(i), int(j), int(t), float(s))
+                for i, j, t, s in zip(ii[in_range][order], jj[in_range][order],
+                                      tg[in_range][order], sc[in_range][order])
+            ]
+        else:
+            tags = np.asarray(head["tags"][sample_idx])[:seq_len, :seq_len]
+            scores = np.asarray(head["scores"][sample_idx])[:seq_len, :seq_len]
+            out[name] = matrix_to_spots(tags, scores)
     return out
 
 

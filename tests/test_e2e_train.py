@@ -55,9 +55,8 @@ def test_overfit_two_pages(tmp_path):
 
     eval_step = jax.jit(T.make_eval_step(model))
     out = jax.device_get(eval_step(state.params, batch))
-    # the model must be predicting actual line spans by now
-    t = out["line_extraction"]["tags"][0]
-    assert (np.triu(t) > 0).sum() > 0
+    # the model must be predicting actual line spans by now (compact format)
+    assert int(out["line_extraction"]["spot_count"][0]) > 0
     preds, gts, fn = dec.decode_batch(b.texts, out, b.labels,
                                       [int(s) for s in b.seq_len], b.fnames)
     metrics, _ = ev.calculate_kvpe_metric(preds, gts, fn)
