@@ -37,6 +37,12 @@ C_PAD = 4
 NEG_INF = -1e9
 
 
+def _silu_f32(x32):
+    # explicit fp32 silu: Mosaic rejects lax.logistic's f32 constant
+    # broadcast into bf16 vectors
+    return x32 / (1.0 + jnp.exp(-x32))
+
+
 def _kernel(a_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, tags_ref, scores_ref):
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -45,14 +51,16 @@ def _kernel(a_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, tags_ref, scores_ref):
 
     @pl.when(j * tj + tj > i * ti)  # tile intersects the upper triangle
     def _():
-        a = a_ref[0]  # (TI, H)
-        b = b_ref[0]  # (TJ, H)
+        a = a_ref[0].astype(jnp.float32)  # (TI, H)
+        b = b_ref[0].astype(jnp.float32)  # (TJ, H)
         h = a.shape[-1]
-        pair = jax.nn.silu(a[:, None, :] + b[None, :, :]).reshape(ti * tj, h)
+        dtype = a_ref.dtype
+        pair32 = a[:, None, :] + b[None, :, :]
+        pair = _silu_f32(pair32).astype(dtype).reshape(ti * tj, h)
         for head in range(N_HEADS):
             x = jnp.dot(pair, w1_ref[head], preferred_element_type=jnp.float32)
-            x = jax.nn.silu(x + b1_ref[head][None, :].astype(jnp.float32))
-            x = x.astype(pair.dtype)
+            x = _silu_f32(x + b1_ref[head][None, :].astype(jnp.float32))
+            x = x.astype(dtype)
             logits = jnp.dot(x, w2_ref[head], preferred_element_type=jnp.float32)
             logits = logits + b2_ref[head][None, :].astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
