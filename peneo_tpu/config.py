@@ -121,6 +121,12 @@ class LayoutLMv2Config:
     max_rel_2d_pos: int = 256
     fast_qkv: bool = True
     image_feature_pool_shape: List[int] = field(default_factory=lambda: [7, 7, 256])
+    # detectron2 pixel normalization (BGR order, matching the BGR 0-255 input
+    # from data/image_processing.layoutlmv2_preprocess)
+    pixel_mean: List[float] = field(
+        default_factory=lambda: [103.530, 116.280, 123.675])
+    pixel_std: List[float] = field(
+        default_factory=lambda: [57.375, 57.120, 58.395])
     model_type: str = "layoutlmv2"
 
     @classmethod

@@ -138,6 +138,10 @@ def convert_peneo_checkpoint(sd: Dict[str, np.ndarray], cfg: PEneoConfig) -> Dic
         from .convert_layoutlmv3 import convert_layoutlmv3_backbone
 
         backbone = convert_layoutlmv3_backbone(backbone_sd)
+    elif fam == "layoutlmv2":
+        from .convert_layoutlmv2 import convert_layoutlmv2_backbone
+
+        backbone = convert_layoutlmv2_backbone(backbone_sd)
     else:
         raise NotImplementedError(fam)
     params = {"backbone": backbone,

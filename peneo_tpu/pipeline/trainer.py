@@ -46,6 +46,7 @@ class TrainingArguments:
     weight_decay: float = 0.01
     max_grad_norm: float = 1.0
     logging_steps: int = 100
+    logging_dir: Optional[str] = None  # TensorBoard event files
     eval_steps: int = 1000
     save_steps: int = 1000
     save_total_limit: Optional[int] = 1
@@ -78,6 +79,14 @@ class PEneoTrainer:
         self.collator = collator
         os.makedirs(args.output_dir, exist_ok=True)
         self._log_file = open(os.path.join(args.output_dir, "log.jsonl"), "a")
+        self._tb = None
+        if args.logging_dir:
+            try:
+                from flax.metrics import tensorboard
+
+                self._tb = tensorboard.SummaryWriter(args.logging_dir)
+            except Exception as e:  # TB is best-effort (needs tensorflow)
+                print(f"[peneo] tensorboard disabled: {e}")
 
         self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
@@ -108,6 +117,11 @@ class PEneoTrainer:
         record["time"] = time.time()
         self._log_file.write(json.dumps(record) + "\n")
         self._log_file.flush()
+        if self._tb is not None and "step" in record:
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k not in ("step", "time"):
+                    self._tb.scalar(k, v, record["step"])
+            self._tb.flush()
         if jax.process_index() == 0:
             brief = {k: (round(v, 5) if isinstance(v, float) else v)
                      for k, v in record.items() if k != "time"}

@@ -46,6 +46,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
     p.add_argument("--per_device_eval_batch_size", type=int, default=16)
     p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--logging_dir", type=str, default=None)
     p.add_argument("--eval_steps", type=int, default=1000)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--save_total_limit", type=int, default=1)
@@ -202,6 +203,7 @@ def main(argv=None, dataset_cls_name="rfund"):
         per_device_eval_batch_size=args.per_device_eval_batch_size,
         weight_decay=args.weight_decay,
         logging_steps=args.logging_steps,
+        logging_dir=args.logging_dir,
         eval_steps=args.eval_steps,
         save_steps=args.save_steps,
         save_total_limit=args.save_total_limit,

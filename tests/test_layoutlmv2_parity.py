@@ -1,0 +1,148 @@
+"""LayoutLMv2 backbone parity vs HF transformers components (text path; the
+detectron2 visual tower is not installable here, so the conv tower is covered
+by the FrozenBN-folding math test + shape/self-consistency tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peneo_tpu.config import LayoutLMv2Config
+
+B, L = 2, 10
+TINY = dict(
+    vocab_size=120, hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=64, hidden_dropout_prob=0.0,
+    attention_probs_dropout_prob=0.0, max_position_embeddings=80,
+    coordinate_size=8, shape_size=8, pad_token_id=0, fast_qkv=True,
+    image_feature_pool_shape=[7, 7, 16],
+)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(3, 120, (B, L)).astype(np.int64)
+    ids[1, -2:] = 0
+    attn = (ids != 0).astype(np.int64)
+    x0 = rng.integers(0, 900, (B, L))
+    y0 = rng.integers(0, 900, (B, L))
+    bbox = np.stack([x0, y0, x0 + rng.integers(1, 99, (B, L)),
+                     y0 + rng.integers(1, 99, (B, L))], -1).astype(np.int64)
+    bbox[ids == 0] = 0
+    return ids, attn, bbox
+
+
+def test_text_path_parity_vs_hf_components():
+    import torch
+    import torch.nn as tnn
+    from transformers import LayoutLMv2Config as HFConfig
+    from transformers.models.layoutlmv2.modeling_layoutlmv2 import (
+        LayoutLMv2Embeddings, LayoutLMv2Encoder)
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(**TINY)
+    emb = LayoutLMv2Embeddings(hf_cfg).eval()
+    enc = LayoutLMv2Encoder(hf_cfg).eval()
+    vis_proj = tnn.Linear(16, TINY["hidden_size"])
+    vis_ln = tnn.LayerNorm(TINY["hidden_size"], eps=hf_cfg.layer_norm_eps)
+
+    ids, attn, bbox = _inputs()
+    t_ids, t_attn, t_bbox = map(torch.tensor, (ids, attn, bbox))
+    n_vis = 49
+
+    with torch.no_grad():
+        # emulate LayoutLMv2Model.forward text+zero-visual flow (HF source)
+        pos_ids = torch.arange(L).unsqueeze(0).expand(B, L)
+        text = (emb.word_embeddings(t_ids) + emb.position_embeddings(pos_ids)
+                + emb._calc_spatial_position_embeddings(t_bbox)
+                + emb.token_type_embeddings(torch.zeros_like(t_ids)))
+        text = emb.LayerNorm(text)
+
+        gx = torch.div(torch.arange(0, 1000 * 8, 1000), 7, rounding_mode="floor")
+        gy = torch.div(torch.arange(0, 1000 * 8, 1000), 7, rounding_mode="floor")
+        vis_box = torch.stack([
+            gx[:-1].repeat(7, 1), gy[:-1].repeat(7, 1).T,
+            gx[1:].repeat(7, 1), gy[1:].repeat(7, 1).T], dim=-1).view(-1, 4)
+        vis_box = vis_box.repeat(B, 1, 1)
+        vis_pos = torch.arange(n_vis).repeat(B, 1)
+        vis = (vis_proj(torch.zeros(B, n_vis, 16))
+               + emb.position_embeddings(vis_pos)
+               + emb._calc_spatial_position_embeddings(vis_box))
+        vis = vis_ln(vis)
+
+        final = torch.cat([text, vis], dim=1)
+        final_mask = torch.cat([t_attn, torch.ones(B, n_vis, dtype=torch.long)], 1)
+        ext = (1.0 - final_mask[:, None, None, :].float()) * torch.finfo(torch.float32).min
+        ref_out = enc(final, ext,
+                      bbox=torch.cat([t_bbox, vis_box], 1),
+                      position_ids=torch.cat([pos_ids, vis_pos], 1))[0].numpy()
+
+    # ours, from converted weights
+    from peneo_tpu.models.convert_layoutlmv2 import convert_layoutlmv2_backbone
+    from peneo_tpu.models.layoutlmv2 import LayoutLMv2Model
+
+    sd = {}
+    for k, v in emb.state_dict().items():
+        sd[f"embeddings.{k}"] = v.numpy()
+    for k, v in enc.state_dict().items():
+        sd[f"encoder.{k}"] = v.numpy()
+    for k, v in vis_proj.state_dict().items():
+        sd[f"visual_proj.{k}"] = v.numpy()
+    for k, v in vis_ln.state_dict().items():
+        sd[f"visual_LayerNorm.{k}"] = v.numpy()
+    params = convert_layoutlmv2_backbone(sd, with_visual=False)
+
+    model = LayoutLMv2Model(LayoutLMv2Config.from_dict(TINY), dtype=jnp.float32)
+    out = model.apply({"params": params}, ids, bbox, attn, image=None,
+                      deterministic=True)["last_hidden_state"]
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_frozen_bn_folding_math():
+    import torch
+    import torch.nn.functional as F
+
+    from peneo_tpu.models.convert_layoutlmv2 import fold_conv_frozen_bn
+
+    rng = np.random.default_rng(0)
+    out_c, in_c = 6, 3
+    w = rng.normal(size=(out_c, in_c, 3, 3)).astype(np.float32)
+    bn_w = rng.normal(size=out_c).astype(np.float32)
+    bn_b = rng.normal(size=out_c).astype(np.float32)
+    mean = rng.normal(size=out_c).astype(np.float32)
+    var = rng.random(out_c).astype(np.float32) + 0.5
+    x_in = rng.normal(size=(1, in_c, 8, 8)).astype(np.float32)
+
+    # reference: detectron2 semantics conv(x) then FrozenBN
+    y = F.conv2d(torch.tensor(x_in), torch.tensor(w), padding=1)
+    s = torch.tensor(bn_w) / torch.sqrt(torch.tensor(var) + 1e-5)
+    ref = y * s[None, :, None, None] + (
+        torch.tensor(bn_b) - torch.tensor(mean) * s)[None, :, None, None]
+
+    # ours: folded biased conv (NHWC)
+    kernel, bias = fold_conv_frozen_bn(w, bn_w, bn_b, mean, var)
+    x_nhwc = jnp.asarray(x_in.transpose(0, 2, 3, 1))
+    ours = jax.lax.conv_general_dilated(
+        x_nhwc, jnp.asarray(kernel), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(bias)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_visual_tower_shapes_and_full_model():
+    """Self-consistency: tiny ResNeXt-FPN + full v2 model with image input."""
+    from peneo_tpu.models.layoutlmv2 import LayoutLMv2Model
+
+    cfg = LayoutLMv2Config.from_dict(TINY)
+    model = LayoutLMv2Model(cfg, dtype=jnp.float32, visual_depths=(1, 1, 1, 1))
+    ids, attn, bbox = _inputs(1)
+    rng = np.random.default_rng(2)
+    image = rng.random((B, 3, 112, 112)).astype(np.float32) * 255
+    params = model.init(jax.random.PRNGKey(0), ids, bbox, attn, image=image,
+                        deterministic=True)["params"]
+    out = model.apply({"params": params}, ids, bbox, attn, image=image,
+                      deterministic=True)["last_hidden_state"]
+    assert out.shape == (B, L + 49, TINY["hidden_size"])
+    assert np.isfinite(np.asarray(out)).all()
