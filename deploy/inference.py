@@ -24,7 +24,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_name_or_path", type=str, required=True)
     p.add_argument("--dir_image", type=str, required=True)
-    p.add_argument("--dir_ocr", type=str, required=True)
+    p.add_argument("--dir_ocr", type=str, default=None,
+                   help="line-level OCR JSON dir; omit with --apply_ocr")
+    p.add_argument("--apply_ocr", action="store_true",
+                   help="run tesseract OCR instead of reading OCR JSON")
     p.add_argument("--dir_save", type=str, default="inference_results.json")
     p.add_argument("--dir_visualize", type=str, default=None)
     p.add_argument("--score_thresh", type=float, default=0.0)
@@ -41,6 +44,8 @@ def main(argv=None):
         dtype=args.dtype,
         score_thresh=args.score_thresh,
     )
+    if not args.apply_ocr and args.dir_ocr is None:
+        p.error("--dir_ocr is required unless --apply_ocr is set")
     results = service.run(args.dir_image, args.dir_ocr,
                           visualize_dir=args.dir_visualize)
     with open(args.dir_save, "w", encoding="utf-8") as f:

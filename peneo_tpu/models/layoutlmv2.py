@@ -241,6 +241,7 @@ class LayoutLMv2Model(nn.Module):
     cfg: LayoutLMv2Config
     dtype: jnp.dtype = jnp.float32
     visual_depths: Sequence[int] = (3, 4, 23, 3)
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -324,8 +325,10 @@ class LayoutLMv2Model(nn.Module):
                     cfg.max_rel_2d_pos)])
             rel_bias = sum(parts).transpose(0, 3, 1, 2).astype(jnp.float32)
 
+        layer_cls = (nn.remat(Layer, static_argnums=(4,))
+                     if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
-            x = Layer(cfg, self.dtype, name=f"layer_{i}")(
+            x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 
         return {"last_hidden_state": x}

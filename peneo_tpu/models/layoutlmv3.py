@@ -159,6 +159,7 @@ class Layer(nn.Module):
 class LayoutLMv3Model(nn.Module):
     cfg: LayoutLMv3Config
     dtype: jnp.dtype = jnp.float32
+    remat_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -247,8 +248,10 @@ class LayoutLMv3Model(nn.Module):
             rel_bias = sum(parts).transpose(0, 3, 1, 2).astype(jnp.float32) \
                 / math.sqrt(dh)
 
+        layer_cls = (nn.remat(Layer, static_argnums=(4,))
+                     if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
-            x = Layer(cfg, self.dtype, name=f"layer_{i}")(
+            x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 
         return {"last_hidden_state": x}

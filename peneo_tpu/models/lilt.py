@@ -225,6 +225,7 @@ class LiltModel(nn.Module):
 
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
+    remat_layers: bool = False  # gradient checkpointing per layer
 
     @nn.compact
     def __call__(
@@ -245,8 +246,10 @@ class LiltModel(nn.Module):
         layout = LiltLayoutEmbeddings(cfg, self.dtype, name="layout_embeddings")(
             bbox, position_ids, deterministic)
 
+        layer_cls = (nn.remat(LiltLayer, static_argnums=(4,))
+                     if self.remat_layers else LiltLayer)
         for i in range(cfg.num_hidden_layers):
-            text, layout = LiltLayer(cfg, self.dtype, name=f"layer_{i}")(
+            text, layout = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
                 text, layout, attn_bias, deterministic)
 
         return {

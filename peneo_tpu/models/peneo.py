@@ -27,16 +27,20 @@ from .lilt import LiltModel
 
 def build_backbone(cfg: PEneoConfig, dtype):
     fam = cfg.backbone_family()
+    remat = cfg.gradient_checkpointing
     if fam == "lilt":
-        return LiltModel(cfg.backbone(), dtype=dtype, name="backbone")
+        return LiltModel(cfg.backbone(), dtype=dtype, remat_layers=remat,
+                         name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model
 
-        return LayoutLMv3Model(cfg.backbone(), dtype=dtype, name="backbone")
+        return LayoutLMv3Model(cfg.backbone(), dtype=dtype, remat_layers=remat,
+                               name="backbone")
     if fam == "layoutlmv2":
         from .layoutlmv2 import LayoutLMv2Model
 
-        return LayoutLMv2Model(cfg.backbone(), dtype=dtype, name="backbone")
+        return LayoutLMv2Model(cfg.backbone(), dtype=dtype, remat_layers=remat,
+                               name="backbone")
     raise NotImplementedError(f"backbone family {fam}")
 
 

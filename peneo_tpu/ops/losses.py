@@ -105,6 +105,62 @@ def ohem_cross_entropy(
     return (pos_sum + neg_sum) / jnp.maximum(pos_n + neg_n, 1).astype(jnp.float32)
 
 
+def random_sample_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    rng: jax.Array,
+    num_background: int,
+    num_foreground: int,
+    class_weights: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Randomly subsample background (t==0) / foreground (t!=0) elements
+    before averaging CE (reference: CrossEntropyLossRandomSample,
+    model/custom_loss.py:9-101 — defined there but unused by the pipeline;
+    provided for capability parity). Shape-static: sampling keeps at most k
+    of each group via random scores + top_k."""
+    ce = _per_element_ce(logits, targets)
+    if class_weights is not None:
+        ce = ce * class_weights.astype(jnp.float32)[targets]
+    valid = jnp.ones_like(ce, dtype=bool) if mask is None else mask.astype(bool)
+    noise = jax.random.uniform(rng, ce.shape)
+
+    def group(m, k):
+        k = min(k, ce.size)
+        sel = jnp.where(m, noise, -1.0).ravel()
+        _, idx = jax.lax.top_k(sel, k)
+        chosen = jnp.take(ce.ravel(), idx)
+        ok = jnp.take(m.ravel(), idx)
+        return jnp.where(ok, chosen, 0.0).sum(), jnp.minimum(m.sum(), k)
+
+    bg_sum, bg_n = group((targets == 0) & valid, num_background)
+    fg_sum, fg_n = group((targets != 0) & valid, num_foreground)
+    return (bg_sum + fg_sum) / jnp.maximum(bg_n + fg_n, 1).astype(jnp.float32)
+
+
+def sigmoid_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    reduction: str = "none",
+) -> jnp.ndarray:
+    """RetinaNet focal loss (reference: model/custom_loss.py:291-340 —
+    unused by the pipeline; capability parity)."""
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    t = targets.astype(jnp.float32)
+    ce = -(t * jax.nn.log_sigmoid(logits) + (1 - t) * jax.nn.log_sigmoid(-logits))
+    p_t = p * t + (1 - p) * (1 - t)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = (alpha * t + (1 - alpha) * (1 - t)) * loss
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
 def peneo_head_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

@@ -42,6 +42,38 @@ def deploy_text_cleanup(text: str) -> str:
     return string_f2h(text)
 
 
+def tesseract_ocr(image_path: str) -> Tuple[List[str], List[List[float]]]:
+    """Line-level OCR via tesseract (reference: apply_ocr mode through the HF
+    image processor, deploy/inference.py:243-252). Gated: raises a clear
+    error when pytesseract/tesseract are absent."""
+    try:
+        import pytesseract
+        from PIL import Image
+    except ImportError as e:
+        raise RuntimeError(
+            "apply_ocr requires pytesseract + the tesseract binary; install "
+            "them or provide OCR JSON via --dir_ocr") from e
+    with Image.open(image_path) as im:
+        data = pytesseract.image_to_data(
+            im.convert("RGB"), output_type=pytesseract.Output.DICT)
+    lines: dict = {}
+    for i, word in enumerate(data["text"]):
+        if not word.strip():
+            continue
+        key = (data["block_num"][i], data["par_num"][i], data["line_num"][i])
+        l, t = data["left"][i], data["top"][i]
+        r, b = l + data["width"][i], t + data["height"][i]
+        if key in lines:
+            text, (l0, t0, r0, b0) = lines[key]
+            lines[key] = (text + " " + word, (min(l0, l), min(t0, t),
+                                              max(r0, r), max(b0, b)))
+        else:
+            lines[key] = (word, (l, t, r, b))
+    texts = [v[0] for v in lines.values()]
+    boxes = [list(v[1]) for v in lines.values()]
+    return texts, boxes
+
+
 def read_ocr_json(path: str) -> Tuple[List[str], List[List[float]]]:
     with open(path, encoding="utf-8") as f:
         ocr = json.load(f)
@@ -115,7 +147,10 @@ class InferenceService:
 
         with Image.open(image_path) as im:
             image_w, image_h = im.size
-        line_texts, line_boxes = read_ocr_json(ocr_path)
+        if ocr_path is None:
+            line_texts, line_boxes = tesseract_ocr(image_path)
+        else:
+            line_texts, line_boxes = read_ocr_json(ocr_path)
 
         order = sort_boxes(line_boxes)
         texts: List[str] = []
@@ -176,14 +211,17 @@ class InferenceService:
             texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
         return kv_pairs, lines
 
-    def run(self, image_dir: str, ocr_dir: str,
+    def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None) -> Dict[str, Dict]:
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
-        ocr_paths = sorted(
-            os.path.join(ocr_dir, f) for f in os.listdir(ocr_dir)) \
-            if os.path.isdir(ocr_dir) else [ocr_dir]
+        if ocr_dir is None:
+            ocr_paths = [None] * len(image_paths)  # tesseract apply_ocr mode
+        else:
+            ocr_paths = sorted(
+                os.path.join(ocr_dir, f) for f in os.listdir(ocr_dir)) \
+                if os.path.isdir(ocr_dir) else [ocr_dir]
         assert len(image_paths) == len(ocr_paths), \
             "image/OCR counts differ"
         results = {}

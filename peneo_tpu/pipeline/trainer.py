@@ -195,6 +195,16 @@ class PEneoTrainer:
                 nxt = next(it)
             dev_batch = batch_to_device(nxt, self.batch_sharding)
 
+        # load the best checkpoint at the end when tracking a metric
+        # (reference: --load_best_model_at_end, README.md:277-278)
+        if args.metric_for_best_model:
+            best = self.ckpt.best_step()
+            if best is not None and best != int(jax.device_get(self.state.step)):
+                restored = self.ckpt.restore(self.state, step=best)
+                if restored is not None:
+                    self.state = restored
+                    self.log({"event": "loaded_best", "step": best})
+
     # ------------------------------------------------------------------- eval
     def evaluate(self, score_thresh: float = 0.0) -> Dict[str, float]:
         args = self.args
