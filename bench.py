@@ -24,9 +24,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-B = 16
+B = 32  # best batch from the B∈{8,16,32,64} sweep (docs/documentation.md §8)
 L = 512
-N_ITERS = 20
+N_ITERS = 16
 CACHE = os.path.join(REPO, "BASELINE_measured.json")
 # conservative fallback (measured on this image's CPU once); overwritten by a
 # live measurement when /root/reference is importable

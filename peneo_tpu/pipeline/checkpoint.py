@@ -31,7 +31,7 @@ class CheckpointManager:
             max_to_keep=save_total_limit,
             best_fn=(lambda m: m.get(best_metric_key, -1.0))
             if best_metric_key else None,
-            best_mode="max" if best_metric_key else None,
+            best_mode="max",
             create=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
@@ -67,8 +67,15 @@ class CheckpointManager:
             "step": state_template.step,
             "rng": state_template.rng,
         }
+        # abstract template with explicit shardings so arrays come back with
+        # the same (dp, tp) placement they were saved from
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array) else x,
+            template,
+        )
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+            step, args=ocp.args.StandardRestore(abstract))
         return state_template._replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -225,11 +225,17 @@ def shard_state(state: TrainState, mesh, shardings) -> TrainState:
     def put_opt(leaf):
         return jax.device_put(leaf, repl)
 
-    # opt_state: adam moments mirror param tree structure under .mu/.nu
+    # opt_state: adam moments mirror the param tree under .mu/.nu; every
+    # other leaf (e.g. the adam step count) replicates explicitly so restore
+    # round-trips keep consistent committed placements
     def place_opt_state(os):
         if hasattr(os, "mu") and hasattr(os, "nu"):
-            return os._replace(mu=put_like_params(os.mu),
-                               nu=put_like_params(os.nu))
+            placed = {
+                f: (put_like_params(getattr(os, f)) if f in ("mu", "nu")
+                    else jax.tree_util.tree_map(put_opt, getattr(os, f)))
+                for f in os._fields
+            }
+            return type(os)(**placed)
         if isinstance(os, tuple):
             parts = [place_opt_state(x) for x in os]
             return type(os)(*parts) if hasattr(os, "_fields") else tuple(parts)

@@ -1,0 +1,104 @@
+"""Trainer integration: checkpoint save → resume continues at the same step
+with identical params; serving artifact export → deserialized call matches
+the live model."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peneo_tpu.config import LiltConfig, PEneoConfig
+from peneo_tpu.data.collator import PEneoCollator
+from peneo_tpu.data.datasets import RFUNDDataset
+from peneo_tpu.data.fetchers import fetch_xlm
+from peneo_tpu.data.synthetic import ToyTokenizer, write_rfund_dataset
+from peneo_tpu.models.peneo import PEneoModel
+from peneo_tpu.pipeline.trainer import PEneoTrainer, TrainingArguments
+
+TINY = dict(vocab_size=2000, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=96,
+            max_position_embeddings=64, pad_token_id=0)
+
+
+def _make_trainer(root, outdir, max_steps):
+    tok = ToyTokenizer()
+    ds_kwargs = dict(tokenizer=tok, tokenizer_fetcher=fetch_xlm,
+                     max_token_len=48, add_cls_token=True)
+    train_ds = RFUNDDataset(root, "train", "en", **ds_kwargs)
+    eval_ds = RFUNDDataset(root, "dev", "en", **ds_kwargs)
+    coll = PEneoCollator(max_seq_len=48, pad_token_id=0, add_cls_token=True)
+    cfg = PEneoConfig(backbone_name="lilt-infoxlm-base",
+                      backbone_config=LiltConfig.from_dict(TINY).to_dict(),
+                      pair_block_size=16, max_spots_per_head=64)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    args = TrainingArguments(
+        output_dir=outdir, max_steps=max_steps, learning_rate=1e-3,
+        per_device_train_batch_size=1, per_device_eval_batch_size=1,
+        logging_steps=10, eval_steps=0, save_steps=5, save_total_limit=2,
+        metric_for_best_model=None, dp=8, tp=1, seed=0,
+    )
+    return PEneoTrainer(cfg, model, args, train_ds, eval_ds, coll)
+
+
+def test_checkpoint_resume(tmp_path):
+    root = write_rfund_dataset(str(tmp_path / "data"), n_train=8, n_val=2)
+    out = str(tmp_path / "run")
+
+    t1 = _make_trainer(root, out, max_steps=5)
+    t1.train()
+    assert t1.ckpt.latest_step() == 5
+    params_after_5 = jax.device_get(t1.state.params)
+    t1.ckpt.close()
+
+    # resume in a fresh trainer and continue to step 8
+    t2 = _make_trainer(root, out, max_steps=10)
+    t2.train()
+    assert int(jax.device_get(t2.state.step)) == 10
+    assert t2.ckpt.latest_step() == 10  # continued saving past the resume point
+
+    # the restored state really came from the checkpoint: re-restoring step 5
+    # must equal the params captured after the first run
+    restored = t2.ckpt.restore(t2.state, step=5)
+    a = jax.tree_util.tree_leaves(params_after_5)
+    b = jax.tree_util.tree_leaves(jax.device_get(restored.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    t2.ckpt.close()
+
+
+def test_export_artifact_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.export_artifact import export_artifact, load_artifact
+
+    root = write_rfund_dataset(str(tmp_path / "data"), n_train=8, n_val=1)
+    out = str(tmp_path / "run")
+    t = _make_trainer(root, out, max_steps=2)
+    t.train()
+    t.save_model()
+    t.ckpt.close()
+
+    art = export_artifact(out, str(tmp_path / "art"), batch_size=1,
+                          max_seq_len=48, dtype="float32")
+    call, params, meta, cfg = load_artifact(art)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 2000, (1, 48)).astype(np.int32)
+    bbox = np.tile(np.array([1, 2, 30, 20], np.int32), (1, 48, 1))
+    attn = np.ones((1, 48), np.int32)
+    art_out = jax.device_get(call(params, ids, bbox, attn))
+
+    from peneo_tpu.models.peneo import PEneoModel as PM
+
+    model = PM(cfg, dtype=jnp.float32)
+    live_out = jax.device_get(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        ids, bbox, attn, deterministic=True))
+    for name, head in live_out.items():
+        for k in head:
+            np.testing.assert_allclose(np.asarray(art_out[name][k]),
+                                       np.asarray(head[k]), atol=1e-5)
