@@ -168,6 +168,7 @@ class PEneoConfig:
     pair_block_size: int = 128      # row-block size for the blockwise pair head
     dtype: str = "bfloat16"         # compute dtype for the jitted model
     use_pallas_pair_head: bool = False
+    use_flash_attention: bool = False   # Pallas flash attention (inference / no-attn-dropout)
     gradient_checkpointing: bool = False  # remat backbone layers (memory vs FLOPs)
     # inference: ship only the top-k nonzero triu spots per head to host
     # (0 = dense (L, L) tag/score maps, used by tests/parity)

@@ -122,19 +122,30 @@ class LiltLayoutEmbeddings(nn.Module):
 
 
 class LiltSelfAttention(nn.Module):
-    """Dual-stream attention with BiACM score sharing (modeling_lilt.py:328-425)."""
+    """Dual-stream attention with BiACM score sharing (modeling_lilt.py:328-425).
+
+    Because both streams use the IDENTICAL coupled score matrix, the whole op
+    is one standard attention over concatenated per-head features: q/k/v of
+    the text (d=64) and layout (d=16) streams concat to head_dim 80 with the
+    per-stream 1/√d folded into q. The ``flash`` path runs this through the
+    Pallas TPU flash-attention kernel (online softmax, no (B, h, L, L) probs
+    in HBM); padding is masked via segment ids. Flash is used only when
+    attention dropout is inactive (the kernel has none).
+    """
 
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, text, layout, attn_bias, deterministic: bool):
+    def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
         cfg = self.cfg
         init = dense_init(cfg)
         nh = cfg.num_attention_heads
         dh = cfg.hidden_size // nh
         r = cfg.channel_shrink_ratio
         dh_l = dh // r
+        B, L = text.shape[:2]
 
         def proj(x, feats, name):
             y = nn.Dense(feats, kernel_init=init, dtype=self.dtype, name=name)(x)
@@ -146,6 +157,25 @@ class LiltSelfAttention(nn.Module):
         q_l = proj(layout, cfg.hidden_size // r, "layout_query")
         k_l = proj(layout, cfg.hidden_size // r, "layout_key")
         v_l = proj(layout, cfg.hidden_size // r, "layout_value")
+
+        use_flash = self.flash and (
+            deterministic or cfg.attention_probs_dropout_prob == 0.0)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            scale_t = 1.0 / float(dh) ** 0.5
+            scale_l = 1.0 / float(dh_l) ** 0.5
+            q = jnp.concatenate([q_t * scale_t, q_l * scale_l], axis=-1)
+            k = jnp.concatenate([k_t, k_l], axis=-1)
+            v = jnp.concatenate([v_t, v_l], axis=-1)
+            seg = fa.SegmentIds(seg_mask, seg_mask)
+            ctx = fa.flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), segment_ids=seg, sm_scale=1.0)
+            ctx = ctx.transpose(0, 2, 1, 3).astype(self.dtype)
+            ctx_t, ctx_l = ctx[..., :dh], ctx[..., dh:]
+            return (ctx_t.reshape(B, L, nh * dh),
+                    ctx_l.reshape(B, L, nh * dh_l))
 
         s_t = jnp.einsum("blhd,bmhd->bhlm", q_t, k_t,
                          preferred_element_type=jnp.float32) / jnp.sqrt(float(dh))
@@ -161,7 +191,6 @@ class LiltSelfAttention(nn.Module):
 
         ctx_t = jnp.einsum("bhlm,bmhd->blhd", p_t, v_t)
         ctx_l = jnp.einsum("bhlm,bmhd->blhd", p_l, v_l)
-        B, L = text.shape[:2]
         return ctx_t.reshape(B, L, nh * dh), ctx_l.reshape(B, L, nh * dh_l)
 
 
@@ -202,13 +231,15 @@ class Mlp(nn.Module):
 class LiltLayer(nn.Module):
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, text, layout, attn_bias, deterministic: bool):
+    def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
         cfg = self.cfg
         lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
-        ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, name="self_attn")(
-            text, layout, attn_bias, deterministic)
+        ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, self.flash,
+                                         name="self_attn")(
+            text, layout, attn_bias, seg_mask, deterministic)
         text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
             ctx_t, text, deterministic)
         layout = ResidualOutput(lay_h, cfg, self.dtype, name="layout_attn_output")(
@@ -226,6 +257,7 @@ class LiltModel(nn.Module):
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
     remat_layers: bool = False  # gradient checkpointing per layer
+    flash_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -246,11 +278,13 @@ class LiltModel(nn.Module):
         layout = LiltLayoutEmbeddings(cfg, self.dtype, name="layout_embeddings")(
             bbox, position_ids, deterministic)
 
-        layer_cls = (nn.remat(LiltLayer, static_argnums=(4,))
+        seg_mask = attention_mask.astype(jnp.int32)
+        layer_cls = (nn.remat(LiltLayer, static_argnums=(5,))
                      if self.remat_layers else LiltLayer)
         for i in range(cfg.num_hidden_layers):
-            text, layout = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
-                text, layout, attn_bias, deterministic)
+            text, layout = layer_cls(cfg, self.dtype, self.flash_attention,
+                                     name=f"layer_{i}")(
+                text, layout, attn_bias, seg_mask, deterministic)
 
         return {
             "last_hidden_state": jnp.concatenate([text, layout], axis=-1),

@@ -30,6 +30,7 @@ def build_backbone(cfg: PEneoConfig, dtype):
     remat = cfg.gradient_checkpointing
     if fam == "lilt":
         return LiltModel(cfg.backbone(), dtype=dtype, remat_layers=remat,
+                         flash_attention=cfg.use_flash_attention,
                          name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model
