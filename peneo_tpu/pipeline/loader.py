@@ -97,11 +97,8 @@ class DataFeed:
             stop.set()
 
 
-def batch_to_device(batch, sharding=None):
-    """Collator Batch → dict of device arrays for the jitted step (+ host-side
-    side data kept as python lists)."""
-    import jax
-
+def batch_arrays(batch):
+    """Collator Batch → host numpy dict (model inputs only)."""
     arrays = {
         "input_ids": batch.input_ids,
         "bbox": batch.bbox,
@@ -110,6 +107,15 @@ def batch_to_device(batch, sharding=None):
     }
     if batch.image is not None:
         arrays["image"] = batch.image
+    return arrays
+
+
+def batch_to_device(batch, sharding=None):
+    """Collator Batch → dict of device arrays for the jitted step (+ host-side
+    side data kept as python lists)."""
+    import jax
+
+    arrays = batch_arrays(batch)
     if sharding is not None:
         arrays = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), arrays)

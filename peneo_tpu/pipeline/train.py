@@ -199,6 +199,25 @@ def jit_train_step(model, optimizer):
     return jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
 
 
+def make_multi_train_step(model, optimizer, steps_per_call: int):
+    """K train steps per dispatch via lax.scan over a stacked batch
+    (leading axis = step). Amortizes per-call dispatch/transfer overhead —
+    on remote transports each call costs O(#state leaves); measured ~700 ms
+    of overhead per step on the tunnel. Returns mean metrics over the K
+    steps."""
+    step = make_train_step(model, optimizer)
+
+    def multi_step(state: TrainState, stacked_batch):
+        def body(s, b):
+            s, metrics = step(s, b)
+            return s, metrics
+
+        state, metrics = jax.lax.scan(body, state, stacked_batch)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def shard_state(state: TrainState, mesh, shardings) -> TrainState:
     """Place a TrainState on the mesh: params (and mirrored opt_state
     moments) per the tp rules, scalars replicated."""

@@ -58,6 +58,10 @@ class TrainingArguments:
     detail_eval: bool = False
     save_eval_detail: bool = False
     resume: bool = True
+    # K optimizer steps per device dispatch (lax.scan over stacked batches);
+    # amortizes per-call overhead on remote transports. max_steps rounds up
+    # to a multiple of K.
+    steps_per_call: int = 1
 
 
 class PEneoTrainer:
@@ -100,7 +104,11 @@ class PEneoTrainer:
             downstream_speedup_ratio=cfg.peneo_downstream_speedup_ratio,
             max_grad_norm=args.max_grad_norm,
         )
-        self._train_step = T.jit_train_step(self.model, self.optimizer)
+        if args.steps_per_call > 1:
+            self._train_step = T.make_multi_train_step(
+                self.model, self.optimizer, args.steps_per_call)
+        else:
+            self._train_step = T.jit_train_step(self.model, self.optimizer)
         self._eval_step = jax.jit(T.make_eval_step(self.model))
         self._params_init = params
         self.state: Optional[T.TrainState] = None
@@ -159,41 +167,70 @@ class PEneoTrainer:
                     self.log({"event": "resumed",
                               "step": int(jax.device_get(self.state.step))})
 
+        k = max(1, args.steps_per_call)
+        if k > 1:
+            # first batch becomes part of the first stacked group
+            pending = [first]
         step = int(jax.device_get(self.state.step))
         t_last = time.time()
         seen_since_log = 0
-        while step < args.max_steps:
-            self.state, metrics = self._train_step(self.state, dev_batch)
-            step += 1
-            seen_since_log += dev_batch["input_ids"].shape[0]
 
-            if step % args.logging_steps == 0:
+        def next_raw():
+            nonlocal it
+            try:
+                return next(it)
+            except StopIteration:
+                it = iter(feed)
+                return next(it)
+
+        while step < args.max_steps:
+            if k > 1:
+                while len(pending) < k:
+                    pending.append(next_raw())
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .loader import batch_arrays
+
+                host = [batch_arrays(b) for b in pending]
+                pending = []
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *host)
+                sh = NamedSharding(self.mesh, P(None, "dp"))
+                dev_batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh), stacked)
+            n_samples = (dev_batch["input_ids"].shape[-2]
+                         * (k if k > 1 else 1))
+
+            self.state, metrics = self._train_step(self.state, dev_batch)
+            prev = step
+            step += k
+            seen_since_log += n_samples
+
+            def crossed(every):
+                return every and (step // every) > (prev // every)
+
+            if crossed(args.logging_steps):
                 metrics = jax.device_get(metrics)
                 dt = time.time() - t_last
                 self.log({"step": step,
-                          **{f"loss/{k}": float(v) for k, v in metrics.items()},
+                          **{f"loss/{kk}": float(v) for kk, v in metrics.items()},
                           "throughput_samples_per_s": seen_since_log / dt})
                 t_last = time.time()
                 seen_since_log = 0
 
-            if args.eval_steps and step % args.eval_steps == 0 \
-                    and self.eval_dataset is not None:
+            if crossed(args.eval_steps) and self.eval_dataset is not None:
                 eval_metrics = self.evaluate()
-                self.log({"step": step, **{f"eval/{k}": v
-                                           for k, v in eval_metrics.items()}})
-                if args.save_steps and step % args.save_steps == 0:
+                self.log({"step": step, **{f"eval/{kk}": v
+                                           for kk, v in eval_metrics.items()}})
+                if crossed(args.save_steps):
                     self.ckpt.save(step, self.state, metrics=eval_metrics)
-            elif args.save_steps and step % args.save_steps == 0:
+            elif crossed(args.save_steps):
                 self.ckpt.save(step, self.state)
 
             if step >= args.max_steps:
                 break
-            try:
-                nxt = next(it)
-            except StopIteration:
-                it = iter(feed)
-                nxt = next(it)
-            dev_batch = batch_to_device(nxt, self.batch_sharding)
+            if k == 1:
+                dev_batch = batch_to_device(next_raw(), self.batch_sharding)
 
         # load the best checkpoint at the end when tracking a metric
         # (reference: --load_best_model_at_end, README.md:277-278)

@@ -59,6 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan)")
     p.add_argument("--synthetic_data", action="store_true",
                    help="generate a synthetic RFUND corpus + toy tokenizer")
     p.add_argument("--synthetic_model", type=str, default="small",
@@ -214,6 +216,7 @@ def main(argv=None, dataset_cls_name="rfund"):
         detail_eval=args.detail_eval,
         save_eval_detail=args.save_eval_detail,
         resume=not args.no_resume,
+        steps_per_call=args.steps_per_call,
     )
     trainer = PEneoTrainer(cfg, model, targs, train_ds, eval_ds, collator,
                            params=params)
