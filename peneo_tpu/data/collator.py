@@ -104,9 +104,11 @@ class PEneoCollator:
             # reference); decoding later slices [:seq_len].
             seq_len[i] = n - (1 if self.add_cls_token else 0)
 
+        # int8 labels: tags are 0..2 and the five dense (B, Ld, Ld) matrices
+        # dominate host→device bytes (4x smaller than int32)
         labels = {
             name: batch_spots_to_matrix(
-                [f[key] for f in features], Ld)
+                [f[key] for f in features], Ld).astype(np.int8)
             for name, key in LABEL_KEYS.items()
         }
 

@@ -178,11 +178,12 @@ class PEneoDecoder(nn.Module):
             if ohem:
                 # OHEM needs a global top-k: collect per-block logit blocks.
                 collected = {name: [] for name in HEAD_NAMES}
-            lbl = {
-                name: jnp.pad(labels[name], [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
-                if Lp != Ld else labels[name]
-                for name in HEAD_NAMES
-            }
+            lbl = {}
+            for name in HEAD_NAMES:
+                m = labels[name].astype(jnp.int32)  # int8 on the wire
+                if Lp != Ld:
+                    m = jnp.pad(m, [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
+                lbl[name] = m
             for r0 in range(0, Lp, bs):
                 # triu-only: row block r0 needs columns >= r0 (the lower
                 # triangle is masked everywhere downstream) — ~45% less

@@ -257,11 +257,27 @@ class PEneoTrainer:
         n_eval = 0
         t0 = time.time()
         for batch in feed:
-            # static-shape jit: pad the ragged final batch up to full size
+            # static-shape jit: pad the ragged final batch up to full size by
+            # repeating rows (decoded results beyond bsz are discarded), so
+            # eval compiles exactly once
             bsz = batch.input_ids.shape[0]
             full = self._global_batch(args.per_device_eval_batch_size)
-            dev_batch = batch_to_device(batch, None if bsz != full
-                                        else self.batch_sharding)
+            if bsz != full:
+                import numpy as _np
+
+                from .loader import batch_arrays
+
+                arrays = batch_arrays(batch)
+
+                def _pad(x):
+                    reps = [(0, full - bsz)] + [(0, 0)] * (x.ndim - 1)
+                    return _np.pad(x, reps, mode="edge")
+
+                arrays = jax.tree_util.tree_map(_pad, arrays)
+                dev_batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.batch_sharding), arrays)
+            else:
+                dev_batch = batch_to_device(batch, self.batch_sharding)
             out = self._eval_step(params, dev_batch)
             out = jax.device_get(out)
             preds, gts, fnames = dec.decode_batch(
