@@ -72,12 +72,18 @@ class PEneoCollator:
         add_cls_token: bool = True,
         image_loader: Optional[Callable[[str], np.ndarray]] = None,
         keep_text: bool = True,
+        labels_as_spots: bool = False,
+        max_label_spots: int = 512,
     ) -> None:
         self.max_seq_len = max_seq_len
         self.pad_token_id = pad_token_id
         self.add_cls_token = add_cls_token
         self.image_loader = image_loader
         self.keep_text = keep_text
+        # spots mode ships (B, S, 3) spot arrays (a few KB) instead of dense
+        # (B, Ld, Ld) matrices; the decoder scatters them on device
+        self.labels_as_spots = labels_as_spots
+        self.max_label_spots = max(4, max_label_spots)
 
     @property
     def taggable_len(self) -> int:
@@ -104,13 +110,30 @@ class PEneoCollator:
             # reference); decoding later slices [:seq_len].
             seq_len[i] = n - (1 if self.add_cls_token else 0)
 
-        # int8 labels: tags are 0..2 and the five dense (B, Ld, Ld) matrices
-        # dominate host→device bytes (4x smaller than int32)
-        labels = {
-            name: batch_spots_to_matrix(
-                [f[key] for f in features], Ld).astype(np.int8)
-            for name, key in LABEL_KEYS.items()
-        }
+        if self.labels_as_spots:
+            S = self.max_label_spots
+            labels = {}
+            for name, key in LABEL_KEYS.items():
+                arr = np.full((B, S, 3), [Ld, Ld, 0], dtype=np.int32)
+                for i, f in enumerate(features):
+                    spots = f[key][:S]
+                    if len(f[key]) > S:
+                        import warnings
+
+                        warnings.warn(
+                            f"{name}: {len(f[key])} label spots exceed "
+                            f"max_label_spots={S}; extra spots dropped")
+                    if spots:
+                        arr[i, :len(spots)] = spots
+                labels[name] = arr
+        else:
+            # int8 labels: tags are 0..2 and the five dense (B, Ld, Ld)
+            # matrices dominate host→device bytes (4x smaller than int32)
+            labels = {
+                name: batch_spots_to_matrix(
+                    [f[key] for f in features], Ld).astype(np.int8)
+                for name, key in LABEL_KEYS.items()
+            }
 
         image = None
         if self.image_loader is not None:

@@ -103,6 +103,20 @@ class PairBlockBank(nn.Module):
         return out
 
 
+def dense_labels_from_spots(spots: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """(B, S, 3) padded spot array → dense (B, seq_len, seq_len) int32 labels.
+
+    Spots are (i, j, tag); padding rows use i = j = seq_len (scattered into a
+    sacrificial border that is sliced off), so host→device label traffic is
+    a few KB of spots instead of megabytes of dense matrices.
+    """
+    B, S, _ = spots.shape
+    dense = jnp.zeros((B, seq_len + 1, seq_len + 1), jnp.int32)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S))
+    dense = dense.at[b_idx, spots[..., 0], spots[..., 1]].set(spots[..., 2])
+    return dense[:, :seq_len, :seq_len]
+
+
 def triu_valid_mask(row0: int, bs: int, n_cols: int, valid_len: int,
                     col0: int = 0) -> jnp.ndarray:
     """(bs, n_cols) bool: upper-triangular and within the first valid_len.
@@ -180,9 +194,14 @@ class PEneoDecoder(nn.Module):
                 collected = {name: [] for name in HEAD_NAMES}
             lbl = {}
             for name in HEAD_NAMES:
-                m = labels[name].astype(jnp.int32)  # int8 on the wire
-                if Lp != Ld:
-                    m = jnp.pad(m, [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
+                m = labels[name]
+                if m.ndim == 3 and m.shape[-1] == 3:
+                    # compact spot array → dense on device (KBs over the wire)
+                    m = dense_labels_from_spots(m.astype(jnp.int32), Lp)
+                else:
+                    m = m.astype(jnp.int32)  # dense int8 on the wire
+                    if Lp != Ld:
+                        m = jnp.pad(m, [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
                 lbl[name] = m
             for r0 in range(0, Lp, bs):
                 # triu-only: row block r0 needs columns >= r0 (the lower

@@ -227,11 +227,20 @@ def spots_from_device_outputs(
 def spots_from_label_matrices(
     labels: Dict[str, np.ndarray], sample_idx: int, seq_len: int
 ) -> Dict[str, List[Spot]]:
-    """Ground-truth spot lists from dense label matrices (score = 1)."""
-    return {
-        name: matrix_to_spots(np.asarray(labels[name][sample_idx])[:seq_len, :seq_len])
-        for name in HEAD_NAMES
-    }
+    """Ground-truth spot lists (score = 1) from dense (Ld, Ld) label matrices
+    or compact (S, 3) spot arrays (collator labels_as_spots mode)."""
+    out = {}
+    for name in HEAD_NAMES:
+        m = np.asarray(labels[name][sample_idx])
+        if m.ndim == 2 and m.shape[-1] == 3 and m.shape[0] != m.shape[1]:
+            keep = (m[:, 2] != 0) & (m[:, 0] < seq_len) & (m[:, 1] < seq_len)
+            kept = m[keep]
+            order = np.lexsort((kept[:, 1], kept[:, 0]))  # row-major
+            out[name] = [(int(i), int(j), int(t), 1.0)
+                         for i, j, t in kept[order]]
+        else:
+            out[name] = matrix_to_spots(m[:seq_len, :seq_len])
+    return out
 
 
 def decode_batch(

@@ -61,6 +61,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps per device dispatch (lax.scan)")
+    p.add_argument("--dense_labels", action="store_true",
+                   help="ship dense label matrices instead of spot arrays")
     p.add_argument("--synthetic_data", action="store_true",
                    help="generate a synthetic RFUND corpus + toy tokenizer")
     p.add_argument("--synthetic_model", type=str, default="small",
@@ -159,6 +161,7 @@ def setup(args, dataset_cls_name="rfund"):
         pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
         add_cls_token=info.add_cls_token,
         image_loader=image_loader,
+        labels_as_spots=not args.dense_labels,
     )
     return cfg, model, train_ds, eval_ds, collator, params
 
