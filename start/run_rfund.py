@@ -94,10 +94,12 @@ def setup(args, dataset_cls_name="rfund"):
         from peneo_tpu.data.synthetic import ToyTokenizer, write_rfund_dataset, \
             write_sibr_dataset
 
+        info = get_backbone_info(args.backbone_name)
         data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
         if dataset_cls_name == "rfund":
             if not os.path.exists(os.path.join(data_dir, f"{args.language}.train.json")):
-                write_rfund_dataset(data_dir, args.language, n_train=64, n_val=16)
+                write_rfund_dataset(data_dir, args.language, n_train=64, n_val=16,
+                                    with_images=info.has_visual_embeds)
         else:
             if not os.path.exists(os.path.join(data_dir, "train.txt")):
                 write_sibr_dataset(data_dir, n_train=64, n_test=16)
@@ -105,13 +107,26 @@ def setup(args, dataset_cls_name="rfund"):
         from peneo_tpu.data.fetchers import fetch_xlm
 
         fetcher = fetch_xlm
-        info = get_backbone_info(args.backbone_name)
         preset = SYNTHETIC_MODEL_PRESETS[args.synthetic_model]
+        if info.family == "layoutlmv3":
+            from peneo_tpu.config import LayoutLMv3Config
+
+            backbone_config = LayoutLMv3Config(
+                vocab_size=tokenizer.vocab_size, pad_token_id=0,
+                coordinate_size=preset["hidden_size"] // 6,
+                shape_size=preset["hidden_size"] // 6,
+                input_size=64, **preset).to_dict()
+            # concat spatial embeds must sum to hidden_size
+            backbone_config["coordinate_size"] = preset["hidden_size"] // 6
+            backbone_config["shape_size"] = (
+                preset["hidden_size"] - 4 * backbone_config["coordinate_size"]) // 2
+        else:
+            backbone_config = LiltConfig(
+                vocab_size=tokenizer.vocab_size, pad_token_id=0,
+                **preset).to_dict()
         cfg = PEneoConfig(
             backbone_name=args.backbone_name,
-            backbone_config=LiltConfig(
-                vocab_size=tokenizer.vocab_size, pad_token_id=0,
-                **preset).to_dict(),
+            backbone_config=backbone_config,
             peneo_category_weights=[1.0, 10.0, 10.0],
             peneo_downstream_speedup_ratio=30.0,
             max_seq_len=args.max_seq_len,
