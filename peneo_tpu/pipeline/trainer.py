@@ -218,7 +218,11 @@ class PEneoTrainer:
                 t_last = time.time()
                 seen_since_log = 0
 
-            if crossed(args.eval_steps) and self.eval_dataset is not None:
+            # reference gates eval before start_eval_epoch
+            # (start/run_rfund.py:243-304 compute_metrics closure)
+            eval_allowed = step >= args.start_eval_epoch * max(len(feed), 1)
+            if crossed(args.eval_steps) and self.eval_dataset is not None \
+                    and eval_allowed:
                 eval_metrics = self.evaluate()
                 self.log({"step": step, **{f"eval/{kk}": v
                                            for kk, v in eval_metrics.items()}})

@@ -35,6 +35,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--apply_box_aug", action="store_true")
     p.add_argument("--detail_eval", action="store_true")
     p.add_argument("--save_eval_detail", action="store_true")
+    p.add_argument("--start_eval_epoch", type=int, default=0)
     # training args (HF TrainingArguments subset actually used)
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--do_train", action="store_true")
@@ -233,6 +234,7 @@ def main(argv=None, dataset_cls_name="rfund"):
         tp=args.tp,
         detail_eval=args.detail_eval,
         save_eval_detail=args.save_eval_detail,
+        start_eval_epoch=args.start_eval_epoch,
         resume=not args.no_resume,
         steps_per_call=args.steps_per_call,
     )
