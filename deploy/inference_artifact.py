@@ -34,7 +34,6 @@ class ArtifactInferenceService:
         self._svc = InferenceService.__new__(InferenceService)
         svc = self._svc
         import jax
-        import jax.numpy as jnp
 
         from peneo_tpu.registry import get_backbone_info, load_tokenizer
 

@@ -22,7 +22,7 @@ visual tail and CLS (modeling_peneo.py:138-154).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

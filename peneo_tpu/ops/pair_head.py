@@ -23,7 +23,6 @@ backward pass).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -9,7 +9,6 @@ via get_last_checkpoint).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional
 

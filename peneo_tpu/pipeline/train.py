@@ -15,7 +15,6 @@ Replaces the reference's HF Trainer internals (SURVEY.md §2.7):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -61,14 +60,6 @@ def _is_no_decay(path) -> bool:
 def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(
         lambda path, _: not _is_no_decay(path), params)
-
-
-def _speedup_scales(params, ratio: float):
-    def scale(path, _):
-        names = [p.key if hasattr(p, "key") else str(p) for p in path]
-        return ratio if "peneo_decoder" in names else 1.0
-
-    return jax.tree_util.tree_map_with_path(scale, params)
 
 
 def make_optimizer(

@@ -3,7 +3,7 @@ on the page image (reference: deploy/inference.py:79-107)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 def draw_page(image_path: str, kv_pairs: Sequence[Tuple], lines: Sequence[Tuple],
