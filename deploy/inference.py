@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--dir_visualize", type=str, default=None)
     p.add_argument("--score_thresh", type=float, default=0.0)
     p.add_argument("--max_seq_len", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="pages per device forward (batch serving)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
@@ -41,6 +43,7 @@ def main(argv=None):
     service = InferenceService(
         args.model_name_or_path,
         max_seq_len=args.max_seq_len,
+        batch_size=args.batch_size,
         dtype=args.dtype,
         score_thresh=args.score_thresh,
     )

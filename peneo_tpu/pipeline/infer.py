@@ -211,8 +211,37 @@ class InferenceService:
             texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
         return kv_pairs, lines
 
+    def run_batch(self, page_inputs):
+        """Run up to ``self.batch_size`` preprocessed pages in one forward.
+
+        ``page_inputs``: list of (arrays, texts, orig_bbox, seq_len) from
+        preprocess_page. The batch pads to ``batch_size`` with repeats of the
+        last page (one jit shape); padded rows are discarded.
+        """
+        n = len(page_inputs)
+        assert 0 < n <= self.batch_size
+        pads = self.batch_size - n
+        stacked = {
+            k: np.stack([pi[0][k] for pi in page_inputs]
+                        + [page_inputs[-1][0][k]] * pads)
+            for k in page_inputs[0][0]
+        }
+        out = self._jax.device_get(self._forward(
+            self.params, stacked["input_ids"], stacked["bbox"],
+            stacked["attention_mask"], stacked.get("image")))
+        results = []
+        for i, (_, texts, orig_bbox, seq_len) in enumerate(page_inputs):
+            spots = dec.spots_from_device_outputs(out, i, seq_len)
+            kv_pairs, lines, *_ = dec.decode_sample(
+                texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
+            results.append((kv_pairs, lines))
+        return results
+
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None) -> Dict[str, Dict]:
+        """Batch inference over a directory: pages are preprocessed in a
+        worker thread pool and fed ``batch_size`` at a time (the north-star
+        batch-serving path; per-page mode is ``batch_size=1``)."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
@@ -224,33 +253,56 @@ class InferenceService:
                 if os.path.isdir(ocr_dir) else [ocr_dir]
         assert len(image_paths) == len(ocr_paths), \
             "image/OCR counts differ"
-        results = {}
-        total_t, n = 0.0, 0
-        for img, ocr in zip(image_paths, ocr_paths):
-            t0 = time.perf_counter()
-            kv_pairs, lines = self.run_page(img, ocr)
-            dt = time.perf_counter() - t0
-            total_t += dt
-            n += 1
-            results[os.path.basename(img)] = {
-                "kv_pairs": [
-                    {"key": k, "value": v,
-                     "key_box": [float(x) for x in kb],
-                     "value_box": [float(x) for x in vb]}
-                    for k, v, kb, vb in kv_pairs
-                ],
-                "lines": [{"text": t, "box": [float(x) for x in b]}
-                          for t, b in lines],
-                "seconds": dt,
-            }
-            if visualize_dir:
-                from ..utils.visualize import draw_page
 
-                os.makedirs(visualize_dir, exist_ok=True)
-                draw_page(img, kv_pairs, lines,
-                          os.path.join(visualize_dir, os.path.basename(img)))
+        from concurrent.futures import ThreadPoolExecutor
+
+        results = {}
+        t_start = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            prepped = pool.map(
+                lambda pair: self.preprocess_page(*pair),
+                zip(image_paths, ocr_paths))
+            buf, buf_paths = [], []
+
+            def flush():
+                if not buf:
+                    return
+                t0 = time.perf_counter()
+                outs = self.run_batch(buf)
+                dt = (time.perf_counter() - t0) / len(buf)
+                for img, (kv_pairs, lines) in zip(buf_paths, outs):
+                    results[os.path.basename(img)] = {
+                        "kv_pairs": [
+                            {"key": k, "value": v,
+                             "key_box": [float(x) for x in kb],
+                             "value_box": [float(x) for x in vb]}
+                            for k, v, kb, vb in kv_pairs
+                        ],
+                        "lines": [{"text": t, "box": [float(x) for x in b]}
+                                  for t, b in lines],
+                        "seconds": dt,
+                    }
+                    if visualize_dir:
+                        from ..utils.visualize import draw_page
+
+                        os.makedirs(visualize_dir, exist_ok=True)
+                        draw_page(img, kv_pairs, lines,
+                                  os.path.join(visualize_dir,
+                                               os.path.basename(img)))
+                buf.clear()
+                buf_paths.clear()
+
+            for img, page in zip(image_paths, prepped):
+                buf.append(page)
+                buf_paths.append(img)
+                if len(buf) == self.batch_size:
+                    flush()
+            flush()
+        n = len(image_paths)
         if n:
-            print(f"[peneo] processed {n} pages, avg {total_t / n:.4f}s/page")
+            total = time.perf_counter() - t_start
+            print(f"[peneo] processed {n} pages, avg {total / n:.4f}s/page "
+                  f"(batch_size={self.batch_size})")
         return results
 
 
