@@ -123,10 +123,13 @@ class InferenceService:
 
         self.model = PEneoModel(
             self.cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
-        self.params = load_params(model_name_or_path, self.cfg)
-        if self.params is None:
+        params = load_params(model_name_or_path, self.cfg)
+        if params is None:
             raise FileNotFoundError(
                 f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
+        # pin params on device once — host-resident numpy params would be
+        # re-transferred on every forward call
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
         self.image_loader = None
         if self.info.has_visual_embeds:
