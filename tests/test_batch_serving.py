@@ -1,0 +1,70 @@
+"""Batch serving identity: InferenceService with batch_size>1 must produce
+exactly the same kv pairs/lines as per-page mode (incl. the padded tail
+group)."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peneo_tpu.config import LiltConfig, PEneoConfig
+from peneo_tpu.data.synthetic import ToyTokenizer, make_document, render_page
+from peneo_tpu.models.peneo import PEneoModel
+from peneo_tpu.pipeline.checkpoint import save_params_msgpack
+from peneo_tpu.pipeline.infer import InferenceService
+
+
+@pytest.fixture(scope="module")
+def serving_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    tok = ToyTokenizer()
+    wdir = str(root / "weights")
+    os.makedirs(wdir, exist_ok=True)
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig(
+            vocab_size=tok.vocab_size, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96, pad_token_id=0,
+            max_position_embeddings=72).to_dict(),
+        pair_block_size=16, max_seq_len=64, max_spots_per_head=64)
+    cfg.save_pretrained(wdir)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    ids = np.ones((1, 64), np.int32)
+    params = model.init(jax.random.PRNGKey(7), ids,
+                        np.zeros((1, 64, 4), np.int32), ids,
+                        deterministic=True)["params"]
+    save_params_msgpack(jax.device_get(params),
+                        os.path.join(wdir, "params.msgpack"))
+
+    from PIL import Image
+
+    img_dir = str(root / "images")
+    ocr_dir = str(root / "ocr")
+    os.makedirs(img_dir)
+    os.makedirs(ocr_dir)
+    rng = random.Random(5)
+    for i in range(5):  # 5 pages, batch 2 → padded tail group
+        doc = make_document(rng, f"p{i}.png", n_pairs=3, n_noise=1)
+        Image.fromarray(render_page(doc)).save(f"{img_dir}/p{i}.png")
+        ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
+               for e in doc["entities"] for ln in e["lines"]]
+        with open(f"{ocr_dir}/p{i}.json", "w") as f:
+            json.dump(ocr, f)
+    return wdir, img_dir, ocr_dir, tok
+
+
+def test_batched_matches_per_page(serving_setup):
+    wdir, img_dir, ocr_dir, tok = serving_setup
+    svc1 = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=1)
+    svc2 = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=2)
+    r1 = svc1.run(img_dir, ocr_dir)
+    r2 = svc2.run(img_dir, ocr_dir)
+    assert set(r1) == set(r2) and len(r1) == 5
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k
