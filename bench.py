@@ -33,11 +33,11 @@ CACHE = os.path.join(REPO, "BASELINE_measured.json")
 FALLBACK_REF_PAGES_PER_SEC = 1.0
 
 
-def _inputs(rng, batch, vocab=250002):
-    input_ids = rng.integers(3, vocab, (batch, L)).astype(np.int64)
-    attn = np.ones((batch, L), np.int64)
-    x0 = rng.integers(0, 800, (batch, L))
-    y0 = rng.integers(0, 800, (batch, L))
+def _inputs(rng, batch, seq_len=L, vocab=250002):
+    input_ids = rng.integers(3, vocab, (batch, seq_len)).astype(np.int64)
+    attn = np.ones((batch, seq_len), np.int64)
+    x0 = rng.integers(0, 800, (batch, seq_len))
+    y0 = rng.integers(0, 800, (batch, seq_len))
     bbox = np.stack([x0, y0, x0 + 60, y0 + 24], -1).astype(np.int64)
     return input_ids, bbox, attn
 
@@ -103,7 +103,59 @@ def reference_pages_per_sec() -> float:
     return value
 
 
-def main():
+def _random_params(model, ids, bbox, attn, seed=0):
+    """Random-normal params with the right tree, generated in ONE jitted
+    dispatch (a real model.init would compile a second full graph; zeros
+    would be weaker evidence — MXU timing is data-independent but random
+    weights also exercise the softmax/score paths with realistic values)."""
+    import jax
+    import jax.numpy as jnp
+
+    pshape = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids[:1], bbox[:1], attn[:1],
+                           deterministic=True)["params"])
+    leaves, treedef = jax.tree_util.tree_flatten(pshape)
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        return [0.02 * jax.random.normal(k, s.shape, s.dtype)
+                for k, s in zip(keys, leaves)]
+
+    return jax.tree_util.tree_unflatten(treedef, gen(jax.random.PRNGKey(seed)))
+
+
+def build_forward(model, use_pallas: bool):
+    import jax
+
+    def forward(params, ids, bbox, attn):
+        pallas_w = None
+        if use_pallas:
+            from peneo_tpu.models.decoder import HEAD_NAMES
+            from peneo_tpu.ops.pair_head import stack_head_weights
+
+            pallas_w = stack_head_weights(
+                params["peneo_decoder"], HEAD_NAMES, model.dtype)
+        return model.apply({"params": params}, ids, bbox, attn,
+                           deterministic=True, pallas_head_weights=pallas_w)
+
+    return jax.jit(forward)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--L", type=int, default=L)
+    p.add_argument("--B", type=int, default=B)
+    p.add_argument("--iters", type=int, default=N_ITERS)
+    p.add_argument("--pallas", action="store_true",
+                   help="route the pair head through the fused Pallas kernel")
+    p.add_argument("--compare_pair_head", action="store_true",
+                   help="time XLA-blockwise vs Pallas pair head back to back "
+                        "(extra lines go to stderr; JSON line stays last)")
+    args = p.parse_args(argv)
+
     ref_pps = reference_pages_per_sec()
 
     import jax
@@ -115,48 +167,48 @@ def main():
     cfg = PEneoConfig(
         backbone_name="lilt-infoxlm-base",
         backbone_config=LiltConfig(
-            vocab_size=250002, max_position_embeddings=514, pad_token_id=1,
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1,
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         ).to_dict(),
-        max_seq_len=L,
+        max_seq_len=args.L,
+        use_pallas_pair_head=args.pallas,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    ids, bbox, attn = _inputs(rng, B)
+    ids, bbox, attn = _inputs(rng, args.B, seq_len=args.L)
+    params = _random_params(model, ids, bbox, attn)
 
-    # zeros params via eval_shape: a real init would compile a second full
-    # forward+init graph just to produce weights the benchmark doesn't need
-    pshape = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), ids[:1], bbox[:1], attn[:1],
-                           deterministic=True)["params"])
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), pshape)
+    def bench_variant(use_pallas):
+        fwd = build_forward(model, use_pallas)
 
-    @jax.jit
-    def forward(params, ids, bbox, attn):
-        return model.apply({"params": params}, ids, bbox, attn,
-                           deterministic=True)
+        def run_once(ids_in):
+            # host fetch is the sync point — block_until_ready alone does not
+            # reliably block on experimental PJRT transports
+            return jax.device_get(fwd(params, ids_in, bbox, attn))
 
-    def run_once(ids_in):
-        """One serving step: forward + fetch the compact spot outputs to host
-        (what a real pipeline consumes). The host fetch is the
-        synchronization point — block_until_ready alone does not reliably
-        block on experimental PJRT transports."""
-        out = forward(params, ids_in, bbox, attn)
-        return jax.device_get(out)
+        run_once(ids)  # compile
+        run_once(ids)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_once(ids)
+        dt = time.perf_counter() - t0
+        return args.B * args.iters / dt
 
-    run_once(ids)  # compile
-    run_once(ids)  # warmup
+    if args.compare_pair_head:
+        results = {}
+        for use_pallas in (False, True):
+            results[use_pallas] = bench_variant(use_pallas)
+            name = "pallas" if use_pallas else "xla-blockwise"
+            print(f"# pair_head={name} L={args.L} B={args.B}: "
+                  f"{results[use_pallas]:.2f} pages/s", file=sys.stderr)
+        pages_per_sec = results[args.pallas]
+    else:
+        pages_per_sec = bench_variant(args.pallas)
 
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        host_out = run_once(ids)
-    dt = time.perf_counter() - t0
-    del host_out
-    pages_per_sec = B * N_ITERS / dt
-
+    suffix = f"_L{args.L}" if args.L != 512 else "_L512"
     print(json.dumps({
-        "metric": "pages_per_sec_per_chip_L512_bf16_batch_inference",
+        "metric": f"pages_per_sec_per_chip{suffix}_bf16_batch_inference",
         "value": round(pages_per_sec, 2),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / ref_pps, 2),

@@ -47,6 +47,26 @@ class ToyTokenizer:
         self.pad_token = "<pad>"
         self.padding_side = "right"
 
+    def save_pretrained(self, directory: str) -> None:
+        """Self-describing tokenizer file so a synthetic-data train output dir
+        is servable (registry.load_tokenizer recognizes it)."""
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "toy_tokenizer.json"), "w") as f:
+            json.dump({"vocab_size": self.vocab_size,
+                       "piece_len": self.piece_len}, f)
+
+    @classmethod
+    def from_pretrained(cls, directory: str) -> "ToyTokenizer":
+        import json
+        import os
+
+        with open(os.path.join(directory, "toy_tokenizer.json")) as f:
+            meta = json.load(f)
+        return cls(vocab_size=meta["vocab_size"], piece_len=meta["piece_len"])
+
     def tokenize(self, text: str) -> List[str]:
         out = []
         for word in text.split(" "):

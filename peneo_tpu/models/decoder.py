@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PEneoConfig
-from ..ops.losses import peneo_head_loss
 
 HEAD_NAMES = (
     "line_extraction",
@@ -135,6 +134,9 @@ class PEneoDecoder(nn.Module):
     - ``labels`` None   → dict with per-head ``tags`` (argmax class) and
       ``scores`` (max softmax prob), both (B, L, L) — the device half of
       decoding; or full ``logits`` when ``return_logits=True``.
+    - ``labels`` + ``also_decode`` → ``(losses, decode_out)`` from ONE pass
+      over the pair grid (eval reports losses and KVPE metrics without a
+      second backbone/pair-head forward).
     """
 
     cfg: PEneoConfig
@@ -147,6 +149,7 @@ class PEneoDecoder(nn.Module):
         labels: Optional[Dict[str, jnp.ndarray]] = None,  # head → (B, Ld, Ld)
         deterministic: bool = True,
         return_logits: bool = False,
+        also_decode: bool = False,
         pallas_head_weights=None,  # stacked (w1, b1, w2, b2) → fused kernel
     ):
         cfg = self.cfg
@@ -190,8 +193,15 @@ class PEneoDecoder(nn.Module):
             dens = {name: 0.0 for name in HEAD_NAMES}
             ohem = cfg.peneo_ohem_num_positive != -1 or cfg.peneo_ohem_num_negative != -1
             if ohem:
-                # OHEM needs a global top-k: collect per-block logit blocks.
-                collected = {name: [] for name in HEAD_NAMES}
+                # Streaming OHEM: fold each block's weighted CE into a
+                # running O(k) top-k state instead of concatenating the full
+                # (B, Lp, Lp, C) logits ×5 heads — blockwise memory holds.
+                from ..ops.losses import (ohem_stream_final, ohem_stream_init,
+                                          ohem_stream_update)
+
+                ohem_acc = {name: ohem_stream_init(
+                    cfg.peneo_ohem_num_positive, cfg.peneo_ohem_num_negative)
+                    for name in HEAD_NAMES}
             lbl = {}
             for name in HEAD_NAMES:
                 m = labels[name]
@@ -203,38 +213,55 @@ class PEneoDecoder(nn.Module):
                     if Lp != Ld:
                         m = jnp.pad(m, [(0, 0), (0, Lp - Ld), (0, Lp - Ld)])
                 lbl[name] = m
+            dec_tags = {name: [] for name in HEAD_NAMES} if also_decode else None
+            dec_scores = {name: [] for name in HEAD_NAMES} if also_decode else None
             for r0 in range(0, Lp, bs):
                 # triu-only: row block r0 needs columns >= r0 (the lower
                 # triangle is masked everywhere downstream) — ~45% less
                 # pair-head compute, all shapes still static per block.
                 logits_blk = bank(a[:, r0:r0 + bs], b[:, r0:], deterministic)
                 mask = triu_valid_mask(r0, bs, Lp - r0, Ld, col0=r0)[None]
+                if also_decode:
+                    for name in HEAD_NAMES:
+                        p = jax.nn.softmax(
+                            logits_blk[name].astype(jnp.float32), axis=-1)
+                        t_blk = jnp.argmax(p, axis=-1).astype(jnp.int32)
+                        s_blk = jnp.max(p, axis=-1)
+                        dec_tags[name].append(
+                            jnp.pad(t_blk, [(0, 0), (0, 0), (r0, 0)]))
+                        dec_scores[name].append(
+                            jnp.pad(s_blk, [(0, 0), (0, 0), (r0, 0)]))
                 for name in HEAD_NAMES:
-                    if ohem:
-                        collected[name].append(jnp.pad(
-                            logits_blk[name], [(0, 0), (0, 0), (r0, 0), (0, 0)]))
-                        continue
                     w = le_weights if name == "line_extraction" else weights
-                    num, den = _ce_sums(logits_blk[name],
-                                        lbl[name][:, r0:r0 + bs, r0:], w, mask)
+                    tgt_blk = lbl[name][:, r0:r0 + bs, r0:]
+                    if ohem:
+                        ohem_acc[name] = ohem_stream_update(
+                            ohem_acc[name], logits_blk[name], tgt_blk, w,
+                            jnp.broadcast_to(mask, tgt_blk.shape))
+                        continue
+                    num, den = _ce_sums(logits_blk[name], tgt_blk, w, mask)
                     nums[name] = nums[name] + num
                     dens[name] = dens[name] + den
             losses = {}
             if ohem:
-                full_mask = triu_valid_mask(0, Lp, Lp, Ld)[None]
                 for name in HEAD_NAMES:
-                    w = le_weights if name == "line_extraction" else weights
-                    logits_full = jnp.concatenate(collected[name], axis=1)
-                    losses[name] = peneo_head_loss(
-                        logits_full, lbl[name], w,
-                        jnp.broadcast_to(full_mask, lbl[name].shape),
-                        cfg.peneo_ohem_num_positive, cfg.peneo_ohem_num_negative)
+                    losses[name] = ohem_stream_final(ohem_acc[name])
             else:
                 for name in HEAD_NAMES:
                     losses[name] = nums[name] / jnp.maximum(dens[name], 1e-12)
             ratios = cfg.peneo_loss_ratio or [1.0] * 5
             losses["total"] = sum(
                 r * losses[name] for r, name in zip(ratios, HEAD_NAMES))
+            if also_decode:
+                out = {}
+                for name in HEAD_NAMES:
+                    t = jnp.concatenate(dec_tags[name], axis=1)[:, :Ld, :Ld]
+                    s = jnp.concatenate(dec_scores[name], axis=1)[:, :Ld, :Ld]
+                    if cfg.max_spots_per_head > 0:
+                        out[name] = compact_spots(t, s, cfg.max_spots_per_head)
+                    else:
+                        out[name] = {"tags": t, "scores": s}
+                return losses, out
             return losses
 
         # inference / eval path
@@ -255,7 +282,9 @@ class PEneoDecoder(nn.Module):
             k_tags, k_scores = pair_head_infer(
                 a.astype(self.dtype), b_full.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype))
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                # interpret mode lets the CPU test suite execute the kernel
+                interpret=jax.default_backend() == "cpu")
             out = {}
             for hi, name in enumerate(HEAD_NAMES):
                 t = k_tags[hi][:, :Ld, :Ld]

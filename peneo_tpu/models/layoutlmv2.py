@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import LayoutLMv2Config
 from .layoutlmv3 import relative_position_bucket
-from .lilt import ACT, dense_init, extended_attention_mask
+from .lilt import ACT, dense_init, embed_init, extended_attention_mask
 
 
 # --------------------------------------------------------------------- visual
@@ -145,8 +145,10 @@ class LayoutLMv2SharedEmbeddings(nn.Module):
     def setup(self):
         cfg = self.cfg
         init = dense_init(cfg)
-        self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                                        embedding_init=init, dtype=self.dtype)
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size,
+            embedding_init=embed_init(cfg, cfg.pad_token_id),
+            dtype=self.dtype)
         self.position_embeddings = nn.Embed(cfg.max_position_embeddings,
                                             cfg.hidden_size,
                                             embedding_init=init, dtype=self.dtype)

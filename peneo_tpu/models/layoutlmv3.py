@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LayoutLMv3Config
-from .lilt import ACT, dense_init, extended_attention_mask, make_position_ids
+from .lilt import (ACT, dense_init, embed_init, extended_attention_mask,
+                   make_position_ids)
 
 
 def relative_position_bucket(rel_pos: jnp.ndarray, num_buckets: int,
@@ -71,14 +72,16 @@ class LayoutLMv3Embeddings(nn.Module):
     def __call__(self, input_ids, bbox, deterministic: bool):
         cfg = self.cfg
         init = dense_init(cfg)
-        words = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+        words = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                         embedding_init=embed_init(cfg, cfg.pad_token_id),
                          dtype=self.dtype, name="word_embeddings")(input_ids)
         tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
                             embedding_init=init, dtype=self.dtype,
                             name="token_type_embeddings")(jnp.zeros_like(input_ids))
         pos_ids = make_position_ids(input_ids, cfg.pad_token_id)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                       embedding_init=init, dtype=self.dtype,
+                       embedding_init=embed_init(cfg, cfg.pad_token_id),
+                       dtype=self.dtype,
                        name="position_embeddings")(pos_ids)
 
         x_emb = nn.Embed(cfg.max_2d_position_embeddings, cfg.coordinate_size,

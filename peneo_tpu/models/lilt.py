@@ -13,7 +13,7 @@ TPU-first re-design of the reference's vendored LiLT
   with fp32 params.
 
 Numerics parity (fp32 vs fp32) is tested against the reference torch model in
-tests/test_lilt_parity.py.
+tests/test_model_parity.py.
 
 I/O contract (modeling_lilt.py:855-997): inputs ``input_ids (B, L)``, ``bbox
 (B, L, 4)`` in [0,1000], ``attention_mask (B, L)``; returns dict with
@@ -43,6 +43,22 @@ def dense_init(cfg):
     return nn.initializers.normal(cfg.initializer_range)
 
 
+def embed_init(cfg, pad_idx=None):
+    """normal(initializer_range) with the padding row zeroed, matching the
+    reference _init_weights for nn.Embedding(padding_idx=...) (reference:
+    model/modeling_peneo.py:25-28). Only affects train-from-scratch; converted
+    checkpoints overwrite the init."""
+    base = nn.initializers.normal(cfg.initializer_range)
+    if pad_idx is None:
+        return base
+
+    def init(key, shape, dtype=jnp.float32):
+        emb = base(key, shape, dtype)
+        return emb.at[pad_idx].set(0.0)
+
+    return init
+
+
 def make_position_ids(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
     """RoBERTa-style pad-aware position ids: cumsum over non-pad, offset by
     pad id (reference: modeling_lilt.py:1000-1015)."""
@@ -65,9 +81,11 @@ class LiltTextEmbeddings(nn.Module):
     def __call__(self, input_ids, position_ids, deterministic: bool):
         cfg = self.cfg
         init = dense_init(cfg)
-        words = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+        words = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                         embedding_init=embed_init(cfg, cfg.pad_token_id),
                          dtype=self.dtype, name="word_embeddings")(input_ids)
-        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, embedding_init=init,
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=embed_init(cfg, cfg.pad_token_id),
                        dtype=self.dtype, name="position_embeddings")(position_ids)
         # token_type_ids are always zeros in the PEneo pipeline
         tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
@@ -113,7 +131,8 @@ class LiltLayoutEmbeddings(nn.Module):
         )
         spatial = nn.Dense(lay_h, kernel_init=init, dtype=self.dtype,
                            name="box_linear_embeddings")(spatial)
-        box_pos = nn.Embed(cfg.max_position_embeddings, lay_h, embedding_init=init,
+        box_pos = nn.Embed(cfg.max_position_embeddings, lay_h,
+                           embedding_init=embed_init(cfg, cfg.pad_token_id),
                            dtype=self.dtype, name="box_position_embeddings")(position_ids)
         out = spatial + box_pos
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(out)

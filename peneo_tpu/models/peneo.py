@@ -68,6 +68,7 @@ class PEneoModel(nn.Module):
         labels: Optional[Dict[str, jnp.ndarray]] = None,
         deterministic: bool = True,
         return_logits: bool = False,
+        also_decode: bool = False,
         pallas_head_weights=None,
     ):
         cfg = self.cfg
@@ -96,5 +97,5 @@ class PEneoModel(nn.Module):
 
         decoder = PEneoDecoder(cfg, self.dtype, name="peneo_decoder")
         return decoder(hidden, labels=labels, deterministic=deterministic,
-                       return_logits=return_logits,
+                       return_logits=return_logits, also_decode=also_decode,
                        pallas_head_weights=pallas_head_weights)

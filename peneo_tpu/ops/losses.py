@@ -105,6 +105,61 @@ def ohem_cross_entropy(
     return (pos_sum + neg_sum) / jnp.maximum(pos_n + neg_n, 1).astype(jnp.float32)
 
 
+def ohem_stream_init(num_hard_positive: int, num_hard_negative: int):
+    """Streaming OHEM accumulator (one per head): the decoder feeds pair-grid
+    row blocks through :func:`ohem_stream_update` and never materializes the
+    full (B, L, L, C) logits — running top-k state is O(k), so OHEM keeps the
+    blockwise head's O(blk·L) live-memory guarantee. Equivalent to
+    :func:`ohem_cross_entropy` on the concatenated logits (tested)."""
+
+    def group(k):
+        if k is None or k <= 0:  # keep-all group: plain sum
+            return {"sum": jnp.zeros((), jnp.float32),
+                    "count": jnp.zeros((), jnp.int32)}
+        return {"best": jnp.full((k,), -jnp.inf, jnp.float32),
+                "count": jnp.zeros((), jnp.int32)}
+
+    return {"pos": group(num_hard_positive), "neg": group(num_hard_negative)}
+
+
+def ohem_stream_update(state, logits, targets, class_weights, mask):
+    """Fold one block's weighted CE into the running OHEM state."""
+    ce_w = _per_element_ce(logits, targets) \
+        * class_weights.astype(jnp.float32)[targets]
+    valid = mask.astype(bool)
+    new = {}
+    for key, gmask in (("pos", (targets != 0) & valid),
+                       ("neg", (targets == 0) & valid)):
+        g = state[key]
+        cnt = g["count"] + gmask.sum()
+        if "sum" in g:
+            new[key] = {"sum": g["sum"] + jnp.where(gmask, ce_w, 0.0).sum(),
+                        "count": cnt}
+        else:
+            k = g["best"].shape[0]
+            vals = jnp.where(gmask, ce_w, -jnp.inf).ravel()
+            merged = jnp.concatenate([g["best"], vals])
+            new[key] = {"best": jax.lax.top_k(merged, k)[0], "count": cnt}
+    return new
+
+
+def ohem_stream_final(state) -> jnp.ndarray:
+    """Running state → OHEM loss (mean over kept elements, matching
+    ohem_cross_entropy / reference custom_loss.py:234-288 intended
+    semantics)."""
+
+    def group(g):
+        if "sum" in g:
+            return g["sum"], g["count"]
+        finite = jnp.isfinite(g["best"])
+        kept = jnp.minimum(g["count"], g["best"].shape[0])
+        return jnp.where(finite, g["best"], 0.0).sum(), kept
+
+    pos_sum, pos_n = group(state["pos"])
+    neg_sum, neg_n = group(state["neg"])
+    return (pos_sum + neg_sum) / jnp.maximum(pos_n + neg_n, 1).astype(jnp.float32)
+
+
 def random_sample_cross_entropy(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

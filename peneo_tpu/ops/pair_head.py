@@ -27,7 +27,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -131,23 +130,20 @@ def stack_head_weights(decoder_params: Dict, head_names, dtype=jnp.float32):
     """Decoder param tree → stacked/padded kernel weights.
 
     Expects the 2-layer classifier layout (heads/<name>_fc/{fc_0, fc_out})
-    produced by models/decoder.PairClassifier.
+    produced by models/decoder.PairClassifier. jit-safe (jnp ops only), so it
+    can run on traced params inside an eval step — the stacking is a handful
+    of tiny copies XLA folds away.
     """
     w1, b1, w2, b2 = [], [], [], []
     for name in head_names:
         clf = decoder_params["heads"][f"{name}_fc"]
-        w1.append(clf["fc_0"]["kernel"])
-        b1.append(clf["fc_0"]["bias"])
-        k = np.asarray(clf["fc_out"]["kernel"])
-        bo = np.asarray(clf["fc_out"]["bias"])
+        w1.append(jnp.asarray(clf["fc_0"]["kernel"], dtype))
+        b1.append(jnp.asarray(clf["fc_0"]["bias"], dtype))
+        k = jnp.asarray(clf["fc_out"]["kernel"], dtype)
+        bo = jnp.asarray(clf["fc_out"]["bias"], dtype)
         c = k.shape[1]
-        k_pad = np.zeros((k.shape[0], C_PAD), k.dtype)
-        k_pad[:, :c] = k
-        b_pad = np.full((C_PAD,), NEG_INF, bo.dtype)
-        b_pad[:c] = bo
+        k_pad = jnp.zeros((k.shape[0], C_PAD), dtype).at[:, :c].set(k)
+        b_pad = jnp.full((C_PAD,), NEG_INF, dtype).at[:c].set(bo)
         w2.append(k_pad)
         b2.append(b_pad)
-    return (jnp.stack([jnp.asarray(x, dtype) for x in w1]),
-            jnp.stack([jnp.asarray(x, dtype) for x in b1]),
-            jnp.stack([jnp.asarray(x, dtype) for x in w2]),
-            jnp.stack([jnp.asarray(x, dtype) for x in b2]))
+    return (jnp.stack(w1), jnp.stack(b1), jnp.stack(w2), jnp.stack(b2))

@@ -1,5 +1,5 @@
-"""Orbax checkpointing: params + optimizer state + step + data epoch,
-keep-last-N and best-by-metric retention.
+"""Orbax checkpointing: params + optimizer state + step + rng + data-feed
+position (epoch, batches consumed), keep-last-N and best-by-metric retention.
 
 Replaces HF Trainer checkpointing (SURVEY.md §5: ``--save_strategy steps
 --save_steps N --save_total_limit K --load_best_model_at_end
@@ -36,15 +36,18 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None,
-             extra: Optional[Dict[str, Any]] = None) -> None:
+             feed_state: Optional[Any] = None) -> None:
+        """``feed_state`` is ``(epoch, batches_consumed)`` — restores the data
+        iterator on resume so training continues on the batches an
+        uninterrupted run would have seen (HF skips consumed batches too)."""
+        e, b = feed_state if feed_state is not None else (0, 0)
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
             "rng": state.rng,
+            "feed": np.asarray([e, b], np.int64),
         }
-        if extra:
-            payload["extra"] = extra
         self._mgr.save(step, args=ocp.args.StandardSave(payload),
                        metrics=metrics or {})
         self._mgr.wait_until_finished()
@@ -56,7 +59,14 @@ class CheckpointManager:
         return self._mgr.best_step()
 
     def restore(self, state_template, step: Optional[int] = None):
-        """Restore into the shape/sharding of ``state_template``."""
+        """Restore into the shape/sharding of ``state_template``. Returns the
+        TrainState only; use :meth:`restore_with_feed` when the data-iterator
+        position is needed too."""
+        out = self.restore_with_feed(state_template, step=step)
+        return None if out is None else out[0]
+
+    def restore_with_feed(self, state_template, step: Optional[int] = None):
+        """Restore → ``(state, (feed_epoch, feed_batches_consumed))``."""
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
@@ -65,6 +75,7 @@ class CheckpointManager:
             "opt_state": state_template.opt_state,
             "step": state_template.step,
             "rng": state_template.rng,
+            "feed": np.zeros((2,), np.int64),
         }
         # abstract template with explicit shardings so arrays come back with
         # the same (dp, tp) placement they were saved from
@@ -75,12 +86,14 @@ class CheckpointManager:
         )
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
-        return state_template._replace(
+        state = state_template._replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=restored["step"],
             rng=restored["rng"],
         )
+        feed = np.asarray(restored.get("feed", np.zeros((2,), np.int64)))
+        return state, (int(feed[0]), int(feed[1]))
 
     def close(self):
         self._mgr.close()

@@ -105,7 +105,10 @@ def multihost_gather(rows: List) -> List:
     buf = np.zeros((jax.process_count(), maxlen), dtype=np.uint8)
     arr = np.frombuffer(payload, dtype=np.uint8)
     buf[jax.process_index(), : len(arr)] = arr
+    # sum superimposes the one filled row per process; cast back to uint8 —
+    # numpy's sum promotes to a wider int whose raw bytes are NOT the payload
     gathered = multihost_utils.process_allgather(buf).sum(axis=0)
+    gathered = np.asarray(gathered, dtype=np.uint8)
     out = []
     for i in range(jax.process_count()):
         raw = bytes(gathered[i, : int(sizes[i])])

@@ -137,10 +137,25 @@ class InferenceService:
 
             self.image_loader = make_image_loader(self.cfg)
 
-        self._forward = jax.jit(
-            lambda p, ids, bbox, attn, image: self.model.apply(
+        # cfg.use_pallas_pair_head routes the pair grid through the fused
+        # Pallas kernel (ops/pair_head.py) — stacked head weights come from
+        # the same param tree, so outputs are identical; measured faster only
+        # for long sequences (docs/documentation.md §8)
+        use_pallas = bool(getattr(self.cfg, "use_pallas_pair_head", False))
+
+        def _fwd(p, ids, bbox, attn, image):
+            pallas_w = None
+            if use_pallas:
+                from ..models.decoder import HEAD_NAMES
+                from ..ops.pair_head import stack_head_weights
+
+                pallas_w = stack_head_weights(
+                    p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
+            return self.model.apply(
                 {"params": p}, ids, bbox, attn, image=image,
-                deterministic=True))
+                deterministic=True, pallas_head_weights=pallas_w)
+
+        self._forward = jax.jit(_fwd)
         self._jax = jax
 
     # ------------------------------------------------------------- preprocess

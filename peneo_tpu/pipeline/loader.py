@@ -43,6 +43,16 @@ class DataFeed:
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
         self._epoch = 0
+        self._skip = 0
+
+    def set_state(self, epoch: int, batches_consumed: int) -> None:
+        """Restore feed position (checkpoint resume): the next ``iter(self)``
+        replays epoch ``epoch``'s shuffle order and skips its first
+        ``batches_consumed`` batches — training continues on exactly the data
+        an uninterrupted run would have seen next (HF Trainer's
+        ``ignore_data_skip=False`` behavior)."""
+        self._epoch = int(epoch)
+        self._skip = int(batches_consumed)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -61,6 +71,9 @@ class DataFeed:
 
     def __iter__(self) -> Iterator:
         batches = self._index_batches()
+        if self._skip:
+            batches = batches[self._skip:]
+            self._skip = 0
         self._epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -157,27 +157,42 @@ def make_train_step(model: PEneoModel, optimizer):
 
 
 def make_eval_step(model: PEneoModel, with_loss: bool = False):
+    """Inference step for eval. ``with_loss`` additionally returns the 5-head
+    losses from the SAME forward (decoder ``also_decode``): one backbone +
+    pair-head pass yields both the decode outputs and the eval losses. The
+    reference reports eval losses too but only keeps the last batch's value
+    (pipeline/trainer.py:185-200, a bug); here the trainer averages over the
+    whole eval set — deliberate deviation."""
+
     def eval_step(params, batch: Dict[str, Any]):
-        out = model.apply(
-            {"params": params},
-            batch["input_ids"],
-            batch["bbox"],
-            batch.get("attention_mask"),
-            image=batch.get("image"),
-            deterministic=True,
-        )
         if with_loss:
-            losses = model.apply(
+            losses, out = model.apply(
                 {"params": params},
                 batch["input_ids"],
                 batch["bbox"],
                 batch.get("attention_mask"),
                 image=batch.get("image"),
                 labels=batch["labels"],
+                also_decode=True,
                 deterministic=True,
             )
             return out, losses
-        return out
+        pallas_w = None
+        if getattr(model.cfg, "use_pallas_pair_head", False):
+            from ..models.decoder import HEAD_NAMES
+            from ..ops.pair_head import stack_head_weights
+
+            pallas_w = stack_head_weights(
+                params["peneo_decoder"], HEAD_NAMES, model.dtype)
+        return model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["bbox"],
+            batch.get("attention_mask"),
+            image=batch.get("image"),
+            deterministic=True,
+            pallas_head_weights=pallas_w,
+        )
 
     return eval_step
 

@@ -74,6 +74,8 @@ class PEneoTrainer:
         eval_dataset=None,
         collator=None,
         params=None,
+        tokenizer=None,
+        source_dir=None,
     ) -> None:
         self.cfg = cfg
         self.model = model
@@ -81,6 +83,11 @@ class PEneoTrainer:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.collator = collator
+        # for save_model(): tokenizer object to save_pretrained, or the
+        # source model dir whose tokenizer files we copy (reference saves the
+        # processor next to the weights, start/run_rfund.py:323-327)
+        self.tokenizer = tokenizer
+        self.source_dir = source_dir
         os.makedirs(args.output_dir, exist_ok=True)
         self._log_file = open(os.path.join(args.output_dir, "log.jsonl"), "a")
         self._tb = None
@@ -110,6 +117,9 @@ class PEneoTrainer:
         else:
             self._train_step = T.jit_train_step(self.model, self.optimizer)
         self._eval_step = jax.jit(T.make_eval_step(self.model))
+        # losses + decode outputs from one forward (also_decode); compiled
+        # lazily on first labeled eval
+        self._eval_step_loss = None
         self._params_init = params
         self.state: Optional[T.TrainState] = None
         self.ckpt = CheckpointManager(
@@ -155,17 +165,44 @@ class PEneoTrainer:
             shuffle=True,
             seed=args.seed,
         )
-        it = iter(feed)
-        first = next(it)
+        # data-feed position (epoch, batches consumed this epoch) travels in
+        # every checkpoint so resume continues on the batches an uninterrupted
+        # run would have seen next (not an epoch-0 replay)
+        pos = {"epoch": 0, "batch": 0}
+        it = None
+
+        def next_raw():
+            nonlocal it
+            for _ in range(2):  # at most one epoch wrap per call
+                if it is None:
+                    it = iter(feed)
+                try:
+                    b = next(it)
+                    pos["batch"] += 1
+                    return b
+                except StopIteration:
+                    it = None
+                    pos["epoch"] += 1
+                    pos["batch"] = 0
+            raise RuntimeError(
+                "empty train feed (dataset smaller than global batch?)")
+
+        first = next_raw()
         dev_batch = batch_to_device(first, self.batch_sharding)
         if self.state is None:
             self.state = self._make_state(dev_batch)
             if args.resume:
-                restored = self.ckpt.restore(self.state)
+                restored = self.ckpt.restore_with_feed(self.state)
                 if restored is not None:
-                    self.state = restored
+                    self.state, (fe, fb) = restored
                     self.log({"event": "resumed",
-                              "step": int(jax.device_get(self.state.step))})
+                              "step": int(jax.device_get(self.state.step)),
+                              "feed_epoch": fe, "feed_batch": fb})
+                    feed.set_state(fe, fb)
+                    it = None
+                    pos = {"epoch": fe, "batch": fb}
+                    first = next_raw()
+                    dev_batch = batch_to_device(first, self.batch_sharding)
 
         k = max(1, args.steps_per_call)
         if k > 1:
@@ -174,14 +211,6 @@ class PEneoTrainer:
         step = int(jax.device_get(self.state.step))
         t_last = time.time()
         seen_since_log = 0
-
-        def next_raw():
-            nonlocal it
-            try:
-                return next(it)
-            except StopIteration:
-                it = iter(feed)
-                return next(it)
 
         while step < args.max_steps:
             if k > 1:
@@ -219,7 +248,10 @@ class PEneoTrainer:
                 seen_since_log = 0
 
             # reference gates eval before start_eval_epoch
-            # (start/run_rfund.py:243-304 compute_metrics closure)
+            # (start/run_rfund.py:243-304 compute_metrics closure). We run a
+            # step-count loop, so the epoch gate is approximated as
+            # start_eval_epoch × batches-per-epoch steps — equal to the
+            # reference's gate when max_steps spans whole epochs.
             eval_allowed = step >= args.start_eval_epoch * max(len(feed), 1)
             if crossed(args.eval_steps) and self.eval_dataset is not None \
                     and eval_allowed:
@@ -227,9 +259,11 @@ class PEneoTrainer:
                 self.log({"step": step, **{f"eval/{kk}": v
                                            for kk, v in eval_metrics.items()}})
                 if crossed(args.save_steps):
-                    self.ckpt.save(step, self.state, metrics=eval_metrics)
+                    self.ckpt.save(step, self.state, metrics=eval_metrics,
+                                   feed_state=(pos["epoch"], pos["batch"]))
             elif crossed(args.save_steps):
-                self.ckpt.save(step, self.state)
+                self.ckpt.save(step, self.state,
+                               feed_state=(pos["epoch"], pos["batch"]))
 
             if step >= args.max_steps:
                 break
@@ -259,6 +293,14 @@ class PEneoTrainer:
         params = self.state.params if self.state is not None else self._params_init
         all_pred, all_gt, all_fname = [], [], []
         n_eval = 0
+        # eval losses are averaged over the whole eval set (weighted by true
+        # batch size; the reference only reports the LAST batch's losses —
+        # pipeline/trainer.py:185-200 — a bug we deliberately don't copy). The
+        # final ragged batch is edge-padded for static shapes, so its loss
+        # includes duplicated rows: bias bounded by the padding fraction of
+        # one batch.
+        loss_sums: Dict[str, float] = {}
+        loss_weight = 0.0
         t0 = time.time()
         for batch in feed:
             # static-shape jit: pad the ragged final batch up to full size by
@@ -282,7 +324,17 @@ class PEneoTrainer:
                     lambda x: jax.device_put(x, self.batch_sharding), arrays)
             else:
                 dev_batch = batch_to_device(batch, self.batch_sharding)
-            out = self._eval_step(params, dev_batch)
+            if batch.labels:
+                if self._eval_step_loss is None:
+                    self._eval_step_loss = jax.jit(
+                        T.make_eval_step(self.model, with_loss=True))
+                out, losses = self._eval_step_loss(params, dev_batch)
+                losses = jax.device_get(losses)
+                for kk, v in losses.items():
+                    loss_sums[kk] = loss_sums.get(kk, 0.0) + float(v) * bsz
+                loss_weight += bsz
+            else:
+                out = self._eval_step(params, dev_batch)
             out = jax.device_get(out)
             preds, gts, fnames = dec.decode_batch(
                 batch.texts, out, batch.labels,
@@ -297,6 +349,9 @@ class PEneoTrainer:
         summary, detail = calc(all_pred, all_gt, all_fname,
                                gather_fn=ev.multihost_gather)
         summary = dict(summary)
+        if loss_weight > 0:
+            for kk, v in loss_sums.items():
+                summary[f"loss_{kk}"] = v / loss_weight
         summary["eval_samples_per_second"] = n_eval / (time.time() - t0)
         if args.save_eval_detail and jax.process_index() == 0:
             with open(os.path.join(args.output_dir, "detail.json"), "w",
@@ -306,11 +361,32 @@ class PEneoTrainer:
 
     # ------------------------------------------------------------------- save
     def save_model(self) -> None:
+        """Write a self-contained servable model dir: config + params +
+        tokenizer files, so ``InferenceService(output_dir)`` works on a fresh
+        train output (reference: trainer.save_model() + processor
+        .save_pretrained(), start/run_rfund.py:323-327)."""
         from .checkpoint import save_params_msgpack
 
         if self.state is None:
             return
-        self.cfg.save_pretrained(self.args.output_dir)
+        out_dir = self.args.output_dir
+        self.cfg.save_pretrained(out_dir)
         save_params_msgpack(
             jax.device_get(self.state.params),
-            os.path.join(self.args.output_dir, "params.msgpack"))
+            os.path.join(out_dir, "params.msgpack"))
+        if self.tokenizer is not None and hasattr(self.tokenizer,
+                                                  "save_pretrained"):
+            try:
+                self.tokenizer.save_pretrained(out_dir)
+                return
+            except Exception as e:
+                print(f"[peneo] tokenizer.save_pretrained failed: {e}")
+        if self.source_dir and os.path.isdir(self.source_dir):
+            import shutil
+
+            from ..registry import TOKENIZER_FILES
+
+            for fname in TOKENIZER_FILES:
+                src = os.path.join(self.source_dir, fname)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(out_dir, fname))

@@ -103,8 +103,26 @@ def get_backbone_info(name: str) -> BackboneInfo:
     raise KeyError(f"unknown backbone {name!r}; known: {list(BACKBONE_REGISTRY)}")
 
 
+# tokenizer artifacts copied next to saved/exported weights so the output
+# dir is self-contained (covers sentencepiece, BPE and wordpiece tokenizers)
+TOKENIZER_FILES = (
+    "tokenizer.json", "tokenizer_config.json", "sentencepiece.bpe.model",
+    "vocab.json", "vocab.txt", "merges.txt", "special_tokens_map.json",
+    "toy_tokenizer.json",
+)
+
+
 def load_tokenizer(info: BackboneInfo, name_or_path: str):
-    """Load the HF tokenizer for a backbone from a local path or the hub."""
+    """Load the tokenizer for a backbone from a local path or the hub.
+    A dir containing ``toy_tokenizer.json`` (synthetic-data training output)
+    loads the self-describing ToyTokenizer instead of an HF class."""
+    import os
+
+    if os.path.isdir(name_or_path) and os.path.exists(
+            os.path.join(name_or_path, "toy_tokenizer.json")):
+        from .data.synthetic import ToyTokenizer
+
+        return ToyTokenizer.from_pretrained(name_or_path)
     import transformers
 
     cls = getattr(transformers, info.tokenizer_class)

@@ -239,7 +239,9 @@ def main(argv=None, dataset_cls_name="rfund"):
         steps_per_call=args.steps_per_call,
     )
     trainer = PEneoTrainer(cfg, model, targs, train_ds, eval_ds, collator,
-                           params=params)
+                           params=params,
+                           tokenizer=getattr(train_ds, "tokenizer", None),
+                           source_dir=args.model_name_or_path)
     if args.do_train:
         trainer.train()
         trainer.save_model()

@@ -41,12 +41,16 @@ def test_overfit_two_pages(tmp_path):
         peneo_downstream_speedup_ratio=30.0,
     )
     model = PEneoModel(cfg, dtype=jnp.float32)
-    opt = T.make_optimizer(None, lr=1e-3, total_steps=300, warmup_ratio=0.05,
-                           downstream_speedup_ratio=30.0)
+    # 500 steps: with the reference-parity embedding init (padding rows
+    # zeroed), seed 0 needs past ~400 steps before decoded precision
+    # stabilizes ≥0.5 on this 2-page corpus (measured: 0.75 at 500)
+    n_steps = 500
+    opt = T.make_optimizer(None, lr=1e-3, total_steps=n_steps,
+                           warmup_ratio=0.05, downstream_speedup_ratio=30.0)
     state = T.create_train_state(cfg, model, opt, batch, seed=0)
     step = T.jit_train_step(model, opt)
     first_loss = None
-    for i in range(300):
+    for i in range(n_steps):
         state, m = step(state, batch)
         if first_loss is None:
             first_loss = float(m["total"])

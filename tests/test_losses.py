@@ -57,6 +57,123 @@ def test_ohem_fewer_than_k():
     assert np.isfinite(float(out))
 
 
+@pytest.mark.parametrize("k_pos,k_neg", [(5, 7), (-1, 6), (4, -1), (100, 100)])
+def test_ohem_streaming_matches_full(k_pos, k_neg):
+    """Blockwise streaming OHEM == OHEM on the concatenated logits."""
+    rng = np.random.default_rng(6)
+    B, R, C, ncls = 2, 24, 24, 3
+    logits = rng.normal(size=(B, R, C, ncls)).astype(np.float32)
+    targets = rng.integers(0, ncls, (B, R, C))
+    mask = rng.integers(0, 2, (B, R, C)).astype(bool)
+    w = np.array([1.0, 10.0, 10.0], np.float32)
+
+    full = float(L.ohem_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(w),
+        jnp.asarray(mask), k_pos, k_neg))
+
+    state = L.ohem_stream_init(k_pos, k_neg)
+    for r0 in range(0, R, 8):  # feed row blocks like the decoder does
+        state = L.ohem_stream_update(
+            state, jnp.asarray(logits[:, r0:r0 + 8]),
+            jnp.asarray(targets[:, r0:r0 + 8]), jnp.asarray(w),
+            jnp.asarray(mask[:, r0:r0 + 8]))
+    streamed = float(L.ohem_stream_final(state))
+    np.testing.assert_allclose(streamed, full, rtol=1e-6)
+
+
+def test_decoder_ohem_blockwise_matches_full_logits():
+    """Decoder loss with OHEM enabled == peneo_head_loss applied to the full
+    logits the same decoder emits via return_logits (no (B,L,L,C) concat in
+    the loss path itself)."""
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.data.tagging import batch_spots_to_matrix
+    from peneo_tpu.models.decoder import HEAD_NAMES, triu_valid_mask
+    from peneo_tpu.models.peneo import PEneoModel
+
+    rng = np.random.default_rng(7)
+    B, Lseq = 2, 21
+    Ld = Lseq - 1
+    tiny = dict(vocab_size=60, hidden_size=48, num_hidden_layers=1,
+                num_attention_heads=4, intermediate_size=64,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                max_position_embeddings=64, pad_token_id=0)
+    ids = rng.integers(2, 60, (B, Lseq)).astype(np.int32)
+    attn = np.ones((B, Lseq), np.int32)
+    x0 = rng.integers(0, 800, (B, Lseq))
+    bbox = np.stack([x0, x0, x0 + 20, x0 + 30], -1).astype(np.int32)
+    labels = {n: batch_spots_to_matrix(
+        [[(0, 2, 1), (3, 9, 2)], [(1, 4, 1)]], Ld) for n in HEAD_NAMES}
+    labels["line_extraction"] = np.minimum(labels["line_extraction"], 1)
+
+    cfg = PEneoConfig(backbone_name="lilt-infoxlm-base",
+                      backbone_config=LiltConfig.from_dict(tiny).to_dict(),
+                      peneo_category_weights=[1.0, 10.0, 10.0],
+                      pair_block_size=8, peneo_ohem_num_positive=3,
+                      peneo_ohem_num_negative=11)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                        deterministic=True)["params"]
+    losses = model.apply({"params": params}, ids, bbox, attn, labels=labels,
+                         deterministic=True)
+    full = model.apply({"params": params}, ids, bbox, attn,
+                       deterministic=True, return_logits=True)
+
+    Lp = full["line_extraction"]["logits"].shape[1]
+    assert Lp == Ld
+    mask = np.asarray(triu_valid_mask(0, Ld, Ld, Ld))[None]
+    for name in HEAD_NAMES:
+        w = np.array([1.0, 10.0, 10.0], np.float32)
+        if name == "line_extraction":
+            w = w[:2]
+        expect = float(L.peneo_head_loss(
+            jnp.asarray(full[name]["logits"]), jnp.asarray(labels[name]),
+            jnp.asarray(w), jnp.broadcast_to(mask, labels[name].shape),
+            3, 11))
+        np.testing.assert_allclose(float(losses[name]), expect, rtol=2e-5)
+
+
+def test_ohem_train_step_L512():
+    """OHEM training at a realistic L=512 stays blockwise (no full-grid
+    logits): grads compile and the loss is finite."""
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.data.tagging import batch_spots_to_matrix
+    from peneo_tpu.models.peneo import PEneoModel
+
+    rng = np.random.default_rng(8)
+    B, Lseq = 1, 512
+    Ld = Lseq - 1
+    tiny = dict(vocab_size=60, hidden_size=48, num_hidden_layers=1,
+                num_attention_heads=4, intermediate_size=64,
+                max_position_embeddings=520, pad_token_id=0)
+    ids = rng.integers(2, 60, (B, Lseq)).astype(np.int32)
+    attn = np.ones((B, Lseq), np.int32)
+    x0 = rng.integers(0, 800, (B, Lseq))
+    bbox = np.stack([x0, x0, x0 + 20, x0 + 30], -1).astype(np.int32)
+    spots = [[(int(i), int(rng.integers(i, Ld)), 1)
+              for i in rng.integers(0, Ld, 6)]]
+    labels = {n: batch_spots_to_matrix(spots, Ld)
+              for n in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
+                        "line_grouping_h2h", "line_grouping_t2t")}
+
+    cfg = PEneoConfig(backbone_name="lilt-infoxlm-base",
+                      backbone_config=LiltConfig.from_dict(tiny).to_dict(),
+                      pair_block_size=64, peneo_ohem_num_positive=128,
+                      peneo_ohem_num_negative=512)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                        deterministic=True)["params"]
+
+    def loss_fn(p):
+        return model.apply({"params": p}, ids, bbox, attn, labels=labels,
+                           deterministic=True)["total"]
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g ** 2)
+                               for g in jax.tree_util.tree_leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 def test_focal_loss_parity():
     enable_reference_imports()

@@ -79,6 +79,50 @@ def test_stack_head_weights_roundtrip():
     assert float(b2[1, 3]) == ph.NEG_INF
 
 
+def test_use_pallas_pair_head_flag_wired_through_eval_step():
+    """cfg.use_pallas_pair_head=True must actually route the jitted eval step
+    through the fused kernel (stack_head_weights from the live param tree)
+    and produce the same spots as the XLA blockwise path."""
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.models.decoder import HEAD_NAMES
+    from peneo_tpu.models.peneo import PEneoModel
+    from peneo_tpu.pipeline import train as T
+
+    rng = np.random.default_rng(3)
+    B, Lseq = 1, 129  # Ld = 128 after CLS strip → one 128-wide kernel tile
+    tiny = dict(vocab_size=60, hidden_size=48, num_hidden_layers=1,
+                num_attention_heads=4, intermediate_size=64,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                max_position_embeddings=140, pad_token_id=0)
+    ids = rng.integers(2, 60, (B, Lseq)).astype(np.int32)
+    attn = np.ones((B, Lseq), np.int32)
+    x0 = rng.integers(0, 800, (B, Lseq))
+    bbox = np.stack([x0, x0, x0 + 20, x0 + 30], -1).astype(np.int32)
+    batch = {"input_ids": ids, "bbox": bbox, "attention_mask": attn}
+
+    outs = {}
+    params = None
+    for use_pallas in (False, True):
+        cfg = PEneoConfig(
+            backbone_name="lilt-infoxlm-base",
+            backbone_config=LiltConfig.from_dict(tiny).to_dict(),
+            pair_block_size=64, max_spots_per_head=32,
+            use_pallas_pair_head=use_pallas)
+        model = PEneoModel(cfg, dtype=jnp.float32)
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                                deterministic=True)["params"]
+        step = jax.jit(T.make_eval_step(model))
+        outs[use_pallas] = jax.device_get(step(params, batch))
+
+    for name in HEAD_NAMES:
+        for key in ("spot_idx", "spot_tag"):
+            np.testing.assert_array_equal(outs[False][name][key],
+                                          outs[True][name][key])
+        np.testing.assert_allclose(outs[False][name]["spot_score"],
+                                   outs[True][name]["spot_score"], atol=1e-5)
+
+
 def test_decoder_pallas_path_matches_xla():
     """Full decoder: pallas kernel vs blockwise XLA on the same params."""
     from peneo_tpu.config import LiltConfig, PEneoConfig

@@ -69,6 +69,75 @@ def test_checkpoint_resume(tmp_path):
     t2.ckpt.close()
 
 
+def test_feed_state_set_state_matches_uninterrupted_run():
+    """DataFeed.set_state(epoch, k) must continue exactly where an
+    uninterrupted run would be: same per-epoch shuffle, first k batches
+    skipped — NOT an epoch-0 replay."""
+    from peneo_tpu.pipeline.loader import DataFeed
+
+    make = lambda: DataFeed(list(range(20)), lambda f: np.array(f),
+                            batch_size=4, shuffle=True, seed=7,
+                            num_workers=1)
+    ref = make()
+    epoch0 = [b.copy() for b in ref]
+    epoch1 = [b.copy() for b in ref]
+
+    resumed = make()
+    resumed.set_state(1, 2)  # 2 batches of epoch 1 already consumed
+    got = [b.copy() for b in resumed]
+    assert len(got) == len(epoch1) - 2
+    for g, e in zip(got, epoch1[2:]):
+        np.testing.assert_array_equal(g, e)
+    # epoch-1 shuffle differs from epoch-0 (the thing a naive restart replays)
+    assert any(not np.array_equal(a, b) for a, b in zip(epoch0, epoch1))
+    # subsequent epoch continues normally (epoch 2, no skip)
+    nxt = [b.copy() for b in resumed]
+    assert len(nxt) == len(epoch0)
+
+
+def test_checkpoint_persists_feed_position(tmp_path):
+    root = write_rfund_dataset(str(tmp_path / "data"), n_train=8, n_val=2)
+    out = str(tmp_path / "run")
+    t1 = _make_trainer(root, out, max_steps=5)
+    t1.train()
+    # 8 train docs / global batch 8 → 1 batch per epoch: after 5 batches the
+    # feed sits at (epoch 4, 1 batch consumed)
+    _, feed_pos = t1.ckpt.restore_with_feed(t1.state, step=5)
+    assert feed_pos == (4, 1)
+    t1.ckpt.close()
+
+
+def test_eval_losses_and_servable_save_model(tmp_path):
+    """evaluate() reports mean eval losses (reference only logs the last
+    batch's, pipeline/trainer.py:185-200); save_model() leaves a
+    self-contained dir that InferenceService can load directly (reference
+    saves the processor next to the weights, start/run_rfund.py:323-327)."""
+    root = write_rfund_dataset(str(tmp_path / "data"), n_train=8, n_val=2)
+    out = str(tmp_path / "run")
+    t = _make_trainer(root, out, max_steps=2)
+    t.tokenizer = ToyTokenizer()
+    t.train()
+
+    metrics = t.evaluate()
+    for name in ("total", "line_extraction", "ent_linking_h2h"):
+        assert f"loss_{name}" in metrics
+        assert np.isfinite(metrics[f"loss_{name}"])
+
+    t.save_model()
+    t.ckpt.close()
+    assert os.path.exists(os.path.join(out, "toy_tokenizer.json"))
+
+    from peneo_tpu.pipeline.infer import InferenceService
+
+    svc = InferenceService(out, max_seq_len=48, dtype="float32")
+    assert isinstance(svc.tokenizer, ToyTokenizer)
+    ids = np.ones((1, 48), np.int32) * 5
+    bbox = np.tile(np.array([1, 2, 30, 20], np.int32), (1, 48, 1))
+    attn = np.ones((1, 48), np.int32)
+    fwd = svc._forward(svc.params, ids, bbox, attn, None)
+    assert "line_extraction" in jax.device_get(fwd)
+
+
 def test_export_artifact_roundtrip(tmp_path):
     import sys
 

@@ -83,9 +83,9 @@ def export_artifact(model_name_or_path: str, output_dir: str,
                    "has_image": "image" in specs,
                    "backbone_name": cfg.backbone_name}, f, indent=2)
     # tokenizer files travel with the artifact when present
-    for fname in ("tokenizer.json", "tokenizer_config.json",
-                  "sentencepiece.bpe.model", "vocab.json", "merges.txt",
-                  "special_tokens_map.json"):
+    from peneo_tpu.registry import TOKENIZER_FILES
+
+    for fname in TOKENIZER_FILES:
         src = os.path.join(model_name_or_path, fname)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(output_dir, fname))

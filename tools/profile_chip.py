@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""On-device profile + roofline for the flagship inference/train step.
+
+Runs the LiLT-base + PEneo forward (bench.py shapes) under ``jax.profiler``,
+parses the Chrome-trace the TPU backend writes, and prints:
+
+- top device ops by total time (fusions, matmuls, sort/top-k, transfers)
+- a category rollup (matmul / softmax-reduce / top_k / elementwise / other)
+- analytic FLOPs/page and achieved vs peak FLOP/s (roofline position)
+
+The reference has no profiling story at all (SURVEY.md §5); this is the
+TPU-native observability extension, used to justify bench.py numbers.
+
+Usage (on the TPU host):
+    python tools/profile_chip.py [--B 32] [--L 512] [--iters 8] [--train]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e: 197 TFLOP/s bf16
+
+
+def analytic_flops_per_page(L: int, H: int = 768, layers: int = 12,
+                            inter: int = 3072, shrink: int = 384,
+                            n_heads: int = 5) -> float:
+    """Forward FLOPs for LiLT-base + PEneo decoder at seq len L (2·MAC)."""
+    ratio = 4  # LiLT channel_shrink_ratio
+    Hl = H // ratio
+    per_layer = (
+        4 * L * H * H * 2          # text qkv + out proj
+        + 2 * L * H * inter * 2    # text MLP
+        + 4 * L * Hl * Hl * 2      # layout qkv + out proj
+        + 2 * L * Hl * Hl * 4 * 2  # layout MLP (intermediate = 4·Hl)
+        + 2 * L * L * (H + Hl) * 2  # scores + context (concat streams)
+    )
+    decoder = (
+        L * H * H * 2 + L * H * shrink * 2      # shrink projections
+        + 2 * L * shrink * shrink * 2           # comb_a/comb_b
+        + (L * L // 2) * n_heads * (shrink * shrink * 2 + shrink * 4 * 2)
+    )
+    return layers * per_layer + decoder
+
+
+CATEGORIES = [
+    ("matmul", re.compile(r"dot|conv|gemm|matmul|einsum", re.I)),
+    ("softmax/reduce", re.compile(r"softmax|reduce|exponential|divide", re.I)),
+    ("top_k/sort", re.compile(r"sort|top.?k|iota", re.I)),
+    ("transfer", re.compile(r"copy|transpose|infeed|outfeed|h2d|d2h|"
+                            r"transfer", re.I)),
+    ("elementwise", re.compile(r"fused|add|mul|select|broadcast|compare",
+                               re.I)),
+]
+
+
+def parse_trace(logdir: str):
+    """Aggregate device-op durations from the profiler's chrome trace."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes: process names that mention TPU/device (host python lanes
+    # are excluded so the rollup is device time only)
+    pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e.get("args", {}).get("name", "")
+            if re.search(r"TPU|/device|XLA Op|Tensorcore|SparseCore",
+                         name, re.I):
+                pids.add(e["pid"])
+    ops = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if pids and e.get("pid") not in pids:
+            continue
+        name = e.get("name", "?")
+        ops[name] = ops.get(name, 0.0) + e["dur"]  # µs
+    return ops
+
+
+def rollup(ops):
+    cats = {name: 0.0 for name, _ in CATEGORIES}
+    cats["other"] = 0.0
+    for name, dur in ops.items():
+        for cat, pat in CATEGORIES:
+            if pat.search(name):
+                cats[cat] += dur
+                break
+        else:
+            cats["other"] += dur
+    return cats
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--B", type=int, default=32)
+    p.add_argument("--L", type=int, default=512)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--train", action="store_true",
+                   help="profile the training step instead of inference")
+    p.add_argument("--pallas", action="store_true")
+    p.add_argument("--logdir", default="/tmp/peneo_profile")
+    args = p.parse_args()
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.models.peneo import PEneoModel
+
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig(
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0).to_dict(),
+        max_seq_len=args.L,
+        use_pallas_pair_head=args.pallas,
+    )
+    model = PEneoModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids, bbox, attn = bench_mod._inputs(rng, args.B, seq_len=args.L)
+    params = bench_mod._random_params(model, ids, bbox, attn)
+
+    if args.train:
+        from peneo_tpu.data.tagging import batch_spots_to_matrix
+        from peneo_tpu.pipeline import train as T
+
+        Ld = args.L - 1
+        labels = {}
+        for name in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
+                     "line_grouping_h2h", "line_grouping_t2t"):
+            spots = [[(int(i), int(rng.integers(i, Ld)), 1)
+                      for i in rng.integers(0, Ld, 8)]
+                     for _ in range(args.B)]
+            labels[name] = batch_spots_to_matrix(spots, Ld)
+        batch = {"input_ids": ids, "bbox": bbox, "attention_mask": attn,
+                 "labels": labels}
+        opt = T.make_optimizer(None, lr=1e-4, total_steps=100)
+        state = T.create_train_state(cfg, model, opt, batch, params=params)
+        step = T.jit_train_step(model, opt)
+
+        def run():
+            nonlocal state
+            state, m = step(state, batch)
+            return float(jax.device_get(m["total"]))
+    else:
+        fwd = bench_mod.build_forward(model, args.pallas)
+
+        def run():
+            return jax.device_get(fwd(params, ids, bbox, attn))
+
+    run()  # compile
+    run()  # warmup
+
+    os.makedirs(args.logdir, exist_ok=True)
+    jax.profiler.start_trace(args.logdir)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        run()
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+
+    pages = args.B * args.iters
+    print(f"wall: {wall * 1e3:.1f} ms for {args.iters} iters "
+          f"({pages / wall:.1f} pages/s)")
+    flops = analytic_flops_per_page(args.L) * pages
+    if args.train:
+        flops *= 3  # fwd + backward ≈ 3× fwd FLOPs
+    achieved = flops / wall
+    print(f"analytic: {flops / pages / 1e9:.1f} GFLOP/page → achieved "
+          f"{achieved / 1e12:.1f} TFLOP/s = "
+          f"{achieved / V5E_PEAK_BF16 * 100:.1f}% of v5e bf16 peak")
+
+    try:
+        ops = parse_trace(args.logdir)
+    except FileNotFoundError as e:
+        print(f"trace parse failed: {e}")
+        return
+    total = sum(ops.values())
+    print(f"\ndevice op time: {total / 1e3:.1f} ms total")
+    for cat, dur in sorted(rollup(ops).items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:16s} {dur / 1e3:9.1f} ms  {dur / total * 100:5.1f}%")
+    print("\ntop ops:")
+    for name, dur in sorted(ops.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {dur / 1e3:9.1f} ms  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
