@@ -258,7 +258,8 @@ class PEneoDecoder(nn.Module):
                     t = jnp.concatenate(dec_tags[name], axis=1)[:, :Ld, :Ld]
                     s = jnp.concatenate(dec_scores[name], axis=1)[:, :Ld, :Ld]
                     if cfg.max_spots_per_head > 0:
-                        out[name] = compact_spots(t, s, cfg.max_spots_per_head)
+                        out[name] = compact_spots(t, s, cfg.max_spots_per_head,
+                                                  cfg.spot_topk)
                     else:
                         out[name] = {"tags": t, "scores": s}
                 return losses, out
@@ -290,7 +291,7 @@ class PEneoDecoder(nn.Module):
                 t = k_tags[hi][:, :Ld, :Ld]
                 s = k_scores[hi][:, :Ld, :Ld]
                 if compact_k > 0:
-                    out[name] = compact_spots(t, s, compact_k)
+                    out[name] = compact_spots(t, s, compact_k, cfg.spot_topk)
                 else:
                     out[name] = {"tags": t, "scores": s}
             return out
@@ -317,7 +318,7 @@ class PEneoDecoder(nn.Module):
             t = jnp.concatenate(tags[name], axis=1)[:, :Ld, :Ld]
             s = jnp.concatenate(scores[name], axis=1)[:, :Ld, :Ld]
             if compact_k > 0 and not return_logits:
-                out[name] = compact_spots(t, s, compact_k)
+                out[name] = compact_spots(t, s, compact_k, cfg.spot_topk)
             else:
                 out[name] = {"tags": t, "scores": s}
             if return_logits:
@@ -326,7 +327,8 @@ class PEneoDecoder(nn.Module):
         return out
 
 
-def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int):
+def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int,
+                  method: str = "exact"):
     """Dense (B, L, L) argmax maps → top-k nonzero triu spots per sample.
 
     TPU-native serving design: the dense maps are O(L²) per head per sample
@@ -346,7 +348,13 @@ def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int):
     valid = (rows <= cols)[None] & (tags != 0)
     k = min(k, L * L)
     flat_scores = jnp.where(valid, scores, -1.0).reshape(B, L * L)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    if method == "approx":
+        # TPU-native partial reduce (exact-sort fallback on other backends);
+        # see config.spot_topk for the recall rationale
+        top_scores, top_idx = jax.lax.approx_max_k(
+            flat_scores, k, recall_target=0.99)
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     top_tags = jnp.take_along_axis(tags.reshape(B, L * L), top_idx, axis=1)
     count = valid.reshape(B, L * L).sum(axis=1)
     return {

@@ -102,7 +102,10 @@ class InferenceService:
         import jax.numpy as jnp
 
         from ..models.peneo import PEneoModel
+        from ..utils.compile_cache import enable_compile_cache
 
+        enable_compile_cache()  # fresh serving processes skip the 1-6 min
+        # full-model compile (reference torch eager has no cold start)
         self.cfg = PEneoConfig.from_pretrained(model_name_or_path)
         if max_seq_len:
             self.cfg.max_seq_len = max_seq_len
@@ -229,13 +232,12 @@ class InferenceService:
             texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
         return kv_pairs, lines
 
-    def run_batch(self, page_inputs):
-        """Run up to ``self.batch_size`` preprocessed pages in one forward.
-
-        ``page_inputs``: list of (arrays, texts, orig_bbox, seq_len) from
-        preprocess_page. The batch pads to ``batch_size`` with repeats of the
-        last page (one jit shape); padded rows are discarded.
-        """
+    def dispatch_batch(self, page_inputs):
+        """Stack up to ``batch_size`` preprocessed pages and launch the
+        forward asynchronously. Returns the in-flight device output; pair
+        with :meth:`collect_batch`. Keeping one batch in flight while the
+        previous one is fetched + host-decoded hides the dispatch RTT and
+        overlaps host decode with device compute (double buffering)."""
         n = len(page_inputs)
         assert 0 < n <= self.batch_size
         pads = self.batch_size - n
@@ -244,9 +246,14 @@ class InferenceService:
                         + [page_inputs[-1][0][k]] * pads)
             for k in page_inputs[0][0]
         }
-        out = self._jax.device_get(self._forward(
+        return self._forward(
             self.params, stacked["input_ids"], stacked["bbox"],
-            stacked["attention_mask"], stacked.get("image")))
+            stacked["attention_mask"], stacked.get("image"))
+
+    def collect_batch(self, out_device, page_inputs):
+        """Fetch a dispatched forward and host-decode its pages (padded rows
+        are discarded)."""
+        out = self._jax.device_get(out_device)
         results = []
         for i, (_, texts, orig_bbox, seq_len) in enumerate(page_inputs):
             spots = dec.spots_from_device_outputs(out, i, seq_len)
@@ -254,6 +261,12 @@ class InferenceService:
                 texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
             results.append((kv_pairs, lines))
         return results
+
+    def run_batch(self, page_inputs):
+        """Synchronous forward over preprocessed pages (see dispatch/collect
+        for the pipelined form the directory runner uses)."""
+        return self.collect_batch(self.dispatch_batch(page_inputs),
+                                  page_inputs)
 
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None) -> Dict[str, Dict]:
@@ -281,14 +294,17 @@ class InferenceService:
                 lambda pair: self.preprocess_page(*pair),
                 zip(image_paths, ocr_paths))
             buf, buf_paths = [], []
+            inflight = None  # (device_out, pages, paths, t_dispatch)
 
-            def flush():
-                if not buf:
+            def collect():
+                nonlocal inflight
+                if inflight is None:
                     return
-                t0 = time.perf_counter()
-                outs = self.run_batch(buf)
-                dt = (time.perf_counter() - t0) / len(buf)
-                for img, (kv_pairs, lines) in zip(buf_paths, outs):
+                out_dev, pages, paths, t0 = inflight
+                inflight = None
+                outs = self.collect_batch(out_dev, pages)
+                dt = (time.perf_counter() - t0) / len(pages)
+                for img, (kv_pairs, lines) in zip(paths, outs):
                     results[os.path.basename(img)] = {
                         "kv_pairs": [
                             {"key": k, "value": v,
@@ -307,8 +323,20 @@ class InferenceService:
                         draw_page(img, kv_pairs, lines,
                                   os.path.join(visualize_dir,
                                                os.path.basename(img)))
+
+            def flush():
+                # double buffering: launch this batch, THEN fetch+decode the
+                # previous one while the device works — hides dispatch RTT
+                # and overlaps host decode with device compute
+                nonlocal inflight
+                if not buf:
+                    return
+                out_dev = self.dispatch_batch(buf)
+                pages, paths = list(buf), list(buf_paths)
                 buf.clear()
                 buf_paths.clear()
+                collect()
+                inflight = (out_dev, pages, paths, time.perf_counter())
 
             for img, page in zip(image_paths, prepped):
                 buf.append(page)
@@ -316,6 +344,7 @@ class InferenceService:
                 if len(buf) == self.batch_size:
                     flush()
             flush()
+            collect()
         n = len(image_paths)
         if n:
             total = time.perf_counter() - t_start

@@ -99,6 +99,9 @@ class PEneoTrainer:
             except Exception as e:  # TB is best-effort (needs tensorflow)
                 print(f"[peneo] tensorboard disabled: {e}")
 
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()  # resumed/restarted runs skip recompiles
         self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
 

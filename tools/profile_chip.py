@@ -55,10 +55,11 @@ def analytic_flops_per_page(L: int, H: int = 768, layers: int = 12,
 CATEGORIES = [
     ("matmul", re.compile(r"dot|conv|gemm|matmul|einsum", re.I)),
     ("softmax/reduce", re.compile(r"softmax|reduce|exponential|divide", re.I)),
-    ("top_k/sort", re.compile(r"sort|top.?k|iota", re.I)),
+    ("top_k/sort", re.compile(r"sort|top.?k", re.I)),
     ("transfer", re.compile(r"copy|transpose|infeed|outfeed|h2d|d2h|"
                             r"transfer", re.I)),
-    ("elementwise", re.compile(r"fused|add|mul|select|broadcast|compare",
+    ("fusion", re.compile(r"fusion|fused", re.I)),
+    ("elementwise", re.compile(r"add|mul|select|broadcast|compare|iota",
                                re.I)),
 ]
 
@@ -88,7 +89,13 @@ def parse_trace(logdir: str):
         if pids and e.get("pid") not in pids:
             continue
         name = e.get("name", "?")
-        ops[name] = ops.get(name, 0.0) + e["dur"]  # µs
+        if name.startswith("jit_"):
+            continue  # module-level event double-counts its child ops
+        # the hlo_op/long_name arg (when present) is more classifiable than
+        # "fusion.1234"
+        args = e.get("args", {})
+        label = args.get("hlo_op") or args.get("long_name") or name
+        ops[label] = ops.get(label, 0.0) + e["dur"]  # µs
     return ops
 
 
