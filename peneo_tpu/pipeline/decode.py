@@ -181,6 +181,45 @@ def decode_sample(
     return kv_pairs, lines, le_map, el_head_map, el_tail_map, lg_head_map, lg_tail_map
 
 
+def spot_arrays_from_device_outputs(
+    head_outputs: Dict[str, Dict[str, np.ndarray]],
+    sample_idx: int,
+    seq_len: int,
+) -> Optional[Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]]:
+    """Compact device outputs → per-head ``(i, j, tag, score)`` numpy arrays
+    in row-major (flat-index) order, restricted to ``seq_len``. Returns None
+    for dense tag/score maps (those take the python path)."""
+    if "spot_idx" not in head_outputs[HEAD_NAMES[0]]:
+        return None
+    out = {}
+    for name in HEAD_NAMES:
+        head = head_outputs[name]
+        idx = np.asarray(head["spot_idx"][sample_idx])
+        tag = np.asarray(head["spot_tag"][sample_idx])
+        score = np.asarray(head["spot_score"][sample_idx])
+        grid = int(np.asarray(head["seq_len"][sample_idx]))
+        count = int(np.asarray(head["spot_count"][sample_idx]))
+        if count > len(idx):
+            import warnings
+
+            warnings.warn(
+                f"{name}: {count} spots exceed max_spots_per_head="
+                f"{len(idx)}; lowest-scoring spots dropped")
+        keep = score >= 0
+        idx, tag, score = idx[keep], tag[keep], score[keep]
+        ii = idx // grid
+        jj = idx % grid
+        in_range = (ii < seq_len) & (jj < seq_len)
+        order = np.argsort(idx[in_range], kind="stable")
+        out[name] = (
+            np.ascontiguousarray(ii[in_range][order], np.int32),
+            np.ascontiguousarray(jj[in_range][order], np.int32),
+            np.ascontiguousarray(tag[in_range][order], np.int8),
+            np.ascontiguousarray(score[in_range][order], np.float32),
+        )
+    return out
+
+
 def spots_from_device_outputs(
     head_outputs: Dict[str, Dict[str, np.ndarray]],
     sample_idx: int,
@@ -191,37 +230,156 @@ def spots_from_device_outputs(
     the compact top-k spot format (models/decoder.py compact_spots); compact
     spots are re-sorted by flat index to restore the row-major shaking order
     the reference parsers depend on."""
+    arrays = spot_arrays_from_device_outputs(head_outputs, sample_idx, seq_len)
+    if arrays is not None:
+        return {
+            name: [(int(i), int(j), int(t), float(s))
+                   for i, j, t, s in zip(*arrays[name])]
+            for name in HEAD_NAMES
+        }
     out = {}
     for name in HEAD_NAMES:
         head = head_outputs[name]
-        if "spot_idx" in head:
-            idx = np.asarray(head["spot_idx"][sample_idx])
-            tag = np.asarray(head["spot_tag"][sample_idx])
-            score = np.asarray(head["spot_score"][sample_idx])
-            grid = int(np.asarray(head["seq_len"][sample_idx]))
-            count = int(np.asarray(head["spot_count"][sample_idx]))
-            if count > len(idx):
-                import warnings
-
-                warnings.warn(
-                    f"{name}: {count} spots exceed max_spots_per_head="
-                    f"{len(idx)}; lowest-scoring spots dropped")
-            keep = score >= 0
-            ii = idx[keep] // grid
-            jj = idx[keep] % grid
-            tg, sc = tag[keep], score[keep]
-            in_range = (ii < seq_len) & (jj < seq_len)
-            order = np.argsort(idx[keep][in_range], kind="stable")
-            out[name] = [
-                (int(i), int(j), int(t), float(s))
-                for i, j, t, s in zip(ii[in_range][order], jj[in_range][order],
-                                      tg[in_range][order], sc[in_range][order])
-            ]
-        else:
-            tags = np.asarray(head["tags"][sample_idx])[:seq_len, :seq_len]
-            scores = np.asarray(head["scores"][sample_idx])[:seq_len, :seq_len]
-            out[name] = matrix_to_spots(tags, scores)
+        tags = np.asarray(head["tags"][sample_idx])[:seq_len, :seq_len]
+        scores = np.asarray(head["scores"][sample_idx])[:seq_len, :seq_len]
+        out[name] = matrix_to_spots(tags, scores)
     return out
+
+
+def decode_sample_native(
+    text: Sequence[str],
+    arrays: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    bbox: Optional[Sequence[Sequence[float]]] = None,
+    score_thresh: float = 0.0,
+) -> Optional[Tuple]:
+    """Native (C++) decode of one prediction sample from compact spot arrays.
+    Returns the same 7-tuple as :func:`decode_sample` (identical outputs —
+    randomized equivalence test), or None when the native library is
+    unavailable (caller falls back to python)."""
+    import ctypes
+
+    from ..native import load_decode_lib
+
+    lib = load_decode_lib()
+    if lib is None:
+        return None
+
+    def ptrs(name):
+        i, j, t, s = arrays[name]
+        return (i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                j.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                t.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(i))
+
+    n_le = len(arrays["line_extraction"][0])
+    n_elh = len(arrays["ent_linking_h2h"][0])
+    n_elt = len(arrays["ent_linking_t2t"][0])
+    n_lgh = len(arrays["line_grouping_h2h"][0])
+    n_lgt = len(arrays["line_grouping_t2t"][0])
+
+    def buf(n):
+        return np.empty((max(n, 1),), np.int32)
+
+    le_items, lgh_items, lgt_items = buf(2 * n_le), buf(2 * n_lgh), buf(2 * n_lgt)
+    elt_pairs, elh_pairs, kv_meta = buf(2 * n_elt), buf(2 * n_elh), buf(4 * n_elh)
+    # per kv pair: two chains, each ≤ 1 + min(MAX_CHAIN, n_lgh) segments of 2
+    seg_cap = max(4, 4 * (1 + min(_MAX_CHAIN, n_lgh)) * max(n_elh, 1))
+    segs = buf(seg_cap)
+    sizes = np.zeros((7,), np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = lib.peneo_decode_sample(
+        *ptrs("line_extraction"), *ptrs("ent_linking_h2h"),
+        *ptrs("ent_linking_t2t"), *ptrs("line_grouping_h2h"),
+        *ptrs("line_grouping_t2t"),
+        ctypes.c_float(score_thresh),
+        p32(le_items), p32(lgh_items), p32(lgt_items), p32(elt_pairs),
+        p32(elh_pairs), p32(kv_meta), p32(segs), seg_cap, p32(sizes))
+    if rc != 0:
+        return None
+
+    n_le_o, n_lgh_o, n_lgt_o, n_elt_o, n_elh_o, n_kv, n_seg = (
+        int(x) for x in sizes)
+    # bulk-convert once: per-element numpy scalar indexing costs ~100 ns each
+    le_l = le_items[:2 * n_le_o].tolist()
+    lgh_l = lgh_items[:2 * n_lgh_o].tolist()
+    lgt_l = lgt_items[:2 * n_lgt_o].tolist()
+    elt_l = elt_pairs[:2 * n_elt_o].tolist()
+    elh_l = elh_pairs[:2 * n_elh_o].tolist()
+    kv_l = kv_meta[:4 * n_kv].tolist()
+    seg_l = segs[:n_seg].tolist()
+
+    le_map = dict(zip(le_l[0::2], le_l[1::2]))
+    lg_head_map = dict(zip(lgh_l[0::2], lgh_l[1::2]))
+    lg_tail_map = dict(zip(lgt_l[0::2], lgt_l[1::2]))
+    el_tail_map: Dict[int, List[int]] = {}
+    for h, t in zip(elt_l[0::2], elt_l[1::2]):
+        el_tail_map.setdefault(h, []).append(t)
+    el_head_map: Dict[int, List[int]] = {}
+    for h, t in zip(elh_l[0::2], elh_l[1::2]):
+        el_head_map.setdefault(h, []).append(t)
+
+    lines = []
+    for start, end in le_map.items():
+        line_text = "".join(text[start:end + 1])
+        if bbox is not None:
+            lines.append((line_text, merge_bbox(bbox[start:end + 1])))
+        else:
+            lines.append(line_text)
+
+    kv_pairs = []
+    cursor = 0
+
+    def read_chain(n_segs):
+        nonlocal cursor
+        ss = seg_l[cursor:cursor + 2 * n_segs:2]
+        ee = seg_l[cursor + 1:cursor + 2 * n_segs:2]
+        cursor += 2 * n_segs
+        pieces = ["".join(text[s:e + 1]) for s, e in zip(ss, ee)]
+        boxes = ([merge_bbox(bbox[s:e + 1]) for s, e in zip(ss, ee)]
+                 if bbox is not None else None)
+        return pieces, boxes
+
+    for k in range(n_kv):
+        key_pieces, key_boxes = read_chain(kv_l[4 * k + 2])
+        val_pieces, val_boxes = read_chain(kv_l[4 * k + 3])
+        key_text = "".join(key_pieces).strip()
+        value_text = "".join(val_pieces).strip()
+        if bbox is not None:
+            kv_pairs.append((key_text, value_text,
+                             merge_bbox(key_boxes), merge_bbox(val_boxes)))
+        else:
+            kv_pairs.append((key_text, value_text))
+
+    return (kv_pairs, lines, le_map, el_head_map, el_tail_map, lg_head_map,
+            lg_tail_map)
+
+
+def decode_pred_sample(
+    text: Sequence[str],
+    head_outputs: Dict[str, Dict[str, np.ndarray]],
+    sample_idx: int,
+    seq_len: int,
+    bbox: Optional[Sequence[Sequence[float]]] = None,
+    score_thresh: float = 0.0,
+) -> Tuple:
+    """Prediction-path decode for one sample: native C++ fast path on compact
+    spot outputs, python fallback otherwise (identical results)."""
+    arrays = spot_arrays_from_device_outputs(head_outputs, sample_idx, seq_len)
+    if arrays is not None:
+        res = decode_sample_native(text, arrays, bbox=bbox,
+                                   score_thresh=score_thresh)
+        if res is not None:
+            return res
+        spots = {name: [(int(i), int(j), int(t), float(s))
+                        for i, j, t, s in zip(*arrays[name])]
+                 for name in HEAD_NAMES}
+    else:
+        spots = spots_from_device_outputs(head_outputs, sample_idx, seq_len)
+    return decode_sample(text, spots, bbox=bbox, score_thresh=score_thresh)
 
 
 def spots_from_label_matrices(
@@ -255,10 +413,9 @@ def decode_batch(
     pipeline/decode.py:381-511). Returns (pred_results, gt_results, fnames)."""
     all_pred, all_gt, all_fnames = [], [], []
     for i, (text, seq_len, fname) in enumerate(zip(texts, seq_lens, fnames)):
-        pred_spots = spots_from_device_outputs(pred_outputs, i, seq_len)
         gt_spots = spots_from_label_matrices(gt_labels, i, seq_len)
-        all_pred.append(decode_sample(text, pred_spots, decode_gt=False,
-                                      score_thresh=score_thresh))
+        all_pred.append(decode_pred_sample(text, pred_outputs, i, seq_len,
+                                           score_thresh=score_thresh))
         all_gt.append(decode_sample(text, gt_spots, decode_gt=True))
         all_fnames.append(fname)
     return all_pred, all_gt, all_fnames

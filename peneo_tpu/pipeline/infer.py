@@ -227,9 +227,9 @@ class InferenceService:
         out = self._jax.device_get(self._forward(
             self.params, batched["input_ids"], batched["bbox"],
             batched["attention_mask"], batched.get("image")))
-        spots = dec.spots_from_device_outputs(out, 0, seq_len)
-        kv_pairs, lines, *_ = dec.decode_sample(
-            texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
+        kv_pairs, lines, *_ = dec.decode_pred_sample(
+            texts, out, 0, seq_len, bbox=orig_bbox,
+            score_thresh=self.score_thresh)
         return kv_pairs, lines
 
     def dispatch_batch(self, page_inputs):
@@ -256,9 +256,9 @@ class InferenceService:
         out = self._jax.device_get(out_device)
         results = []
         for i, (_, texts, orig_bbox, seq_len) in enumerate(page_inputs):
-            spots = dec.spots_from_device_outputs(out, i, seq_len)
-            kv_pairs, lines, *_ = dec.decode_sample(
-                texts, spots, bbox=orig_bbox, score_thresh=self.score_thresh)
+            kv_pairs, lines, *_ = dec.decode_pred_sample(
+                texts, out, i, seq_len, bbox=orig_bbox,
+                score_thresh=self.score_thresh)
             results.append((kv_pairs, lines))
         return results
 
