@@ -36,6 +36,10 @@ def main(argv=None):
                    help="pages per device forward (batch serving)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel chips (batch shards over the mesh)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips (Megatron-style kernel shards)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -46,6 +50,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         dtype=args.dtype,
         score_thresh=args.score_thresh,
+        dp=args.dp,
+        tp=args.tp,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

@@ -97,7 +97,14 @@ class InferenceService:
         batch_size: int = 1,
         dtype: str = "bfloat16",
         score_thresh: float = 0.0,
+        dp: int = 1,
+        tp: int = 1,
     ) -> None:
+        """``dp``/``tp`` > 1 serve over a ``jax.sharding.Mesh``: the page
+        batch shards over dp chips and the attention/MLP/pair-head kernels
+        split Megatron-style over tp (parallel/mesh.py rules) — the same
+        GSPMD layout the trainer uses, so one jitted forward scales from one
+        chip to a pod slice. ``batch_size`` must be divisible by dp."""
         import jax
         import jax.numpy as jnp
 
@@ -130,9 +137,23 @@ class InferenceService:
         if params is None:
             raise FileNotFoundError(
                 f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
-        # pin params on device once — host-resident numpy params would be
-        # re-transferred on every forward call
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.mesh = None
+        self.batch_sharding = None
+        if dp * tp > 1:
+            assert batch_size % dp == 0, (batch_size, dp)
+            from ..parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(dp=dp, tp=tp,
+                                        devices=jax.devices()[:dp * tp])
+            self.batch_sharding = pmesh.batch_sharding(self.mesh)
+            shardings = pmesh.param_shardings(params, self.mesh)
+            self.params = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s),
+                params, shardings)
+        else:
+            # pin params on device once — host-resident numpy params would be
+            # re-transferred on every forward call
+            self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
         self.image_loader = None
         if self.info.has_visual_embeds:
@@ -223,6 +244,10 @@ class InferenceService:
     # --------------------------------------------------------------- pipeline
     def run_page(self, image_path: str, ocr_path: Optional[str]):
         arrays, texts, orig_bbox, seq_len = self.preprocess_page(image_path, ocr_path)
+        if self.mesh is not None:
+            # sharded serving: single pages ride the batch path (padded to
+            # batch_size) so inputs/params share the mesh placement
+            return self.run_batch([(arrays, texts, orig_bbox, seq_len)])[0]
         batched = {k: v[None] for k, v in arrays.items()}
         out = self._jax.device_get(self._forward(
             self.params, batched["input_ids"], batched["bbox"],
@@ -246,6 +271,9 @@ class InferenceService:
                         + [page_inputs[-1][0][k]] * pads)
             for k in page_inputs[0][0]
         }
+        if self.batch_sharding is not None:
+            stacked = {k: self._jax.device_put(v, self.batch_sharding)
+                       for k, v in stacked.items()}
         return self._forward(
             self.params, stacked["input_ids"], stacked["bbox"],
             stacked["attention_mask"], stacked.get("image"))

@@ -68,3 +68,22 @@ def test_batched_matches_per_page(serving_setup):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+
+
+def test_sharded_serving_matches_single_device(serving_setup):
+    """Multi-chip serving (dp×tp mesh; here the 8-device virtual CPU mesh)
+    must produce exactly the single-device results — same GSPMD layout as
+    training (parallel/mesh.py)."""
+    wdir, img_dir, ocr_dir, tok = serving_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    base = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                            batch_size=4)
+    sharded = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                               batch_size=4, dp=4, tp=2)
+    r1 = base.run(img_dir, ocr_dir)
+    r2 = sharded.run(img_dir, ocr_dir)
+    assert set(r1) == set(r2) and len(r1) == 5
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k

@@ -118,7 +118,12 @@ def main():
     p.add_argument("--L", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--train", action="store_true",
-                   help="profile the training step instead of inference")
+                   help="profile the training step instead of inference. "
+                        "NOTE: ships dense label matrices (~40 MB/step H2D "
+                        "at B=8) — production training uses compact spot "
+                        "labels + steps_per_call batching (trainer.py), so "
+                        "wall numbers here overstate per-step cost; use the "
+                        "trainer's own throughput log for honest steps/s")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--logdir", default="/tmp/peneo_profile")
     args = p.parse_args()
