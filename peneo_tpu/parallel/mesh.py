@@ -91,22 +91,43 @@ def _tree_paths(tree, prefix=()):
         yield prefix, tree
 
 
-def param_shardings(params, mesh: Mesh):
+# leaves smaller than this stay replicated under fsdp (sharding tiny biases
+# costs more in collective latency than it saves in HBM)
+_FSDP_MIN_ELEMENTS = 2 ** 15
+
+
+def param_shardings(params, mesh: Mesh, fsdp: bool = False,
+                    fsdp_min_elements: int = _FSDP_MIN_ELEMENTS):
     """Pytree of NamedShardings matching ``params`` via _PARAM_RULES.
 
     Falls back to replicated when a sharded dim is not divisible by the tp
     axis size (tiny test models).
-    """
+
+    ``fsdp=True`` additionally shards each large leaf's biggest tp-free dim
+    over the **dp** axis (ZeRO-3 style): params AND the mirrored adam moments
+    (shard_state places mu/nu like params) live 1/dp-sized per chip; XLA
+    inserts the all-gather at use and the reduce-scatter on gradients. The
+    reference has nothing comparable — DDP replicates everything
+    (SURVEY.md §2.6 'FSDP-style sharded params later')."""
     tp = mesh.shape["tp"]
+    dp = mesh.shape["dp"]
 
     def spec_for(path, leaf):
         spec = param_spec("/".join(path))
         for dim, axis in enumerate(spec):
             if axis == "tp" and (dim >= leaf.ndim or leaf.shape[dim] % tp != 0):
-                return P()
-            if isinstance(axis, str) and axis == "tp":
-                continue
-        return spec
+                spec = P()
+                break
+        if not fsdp or dp == 1 or leaf.size < fsdp_min_elements:
+            return spec
+        axes = list(spec) + [None] * (leaf.ndim - len(spec))
+        free = [d for d in range(leaf.ndim)
+                if axes[d] is None and leaf.shape[d] % dp == 0]
+        if not free:
+            return spec
+        best = max(free, key=lambda d: leaf.shape[d])
+        axes[best] = "dp"
+        return P(*axes)
 
     out = {}
     for path, leaf in _tree_paths(params):

@@ -55,6 +55,8 @@ class TrainingArguments:
     seed: int = 42
     dp: Optional[int] = None
     tp: int = 1
+    # ZeRO-3-style: shard params + adam moments over dp (parallel/mesh.py)
+    fsdp: bool = False
     detail_eval: bool = False
     save_eval_detail: bool = False
     resume: bool = True
@@ -155,7 +157,8 @@ class PEneoTrainer:
         state = T.create_train_state(self.cfg, self.model, self.optimizer,
                                      sample_batch, seed=self.args.seed,
                                      params=self._params_init)
-        shardings = pmesh.param_shardings(state.params, self.mesh)
+        shardings = pmesh.param_shardings(state.params, self.mesh,
+                                          fsdp=self.args.fsdp)
         return T.shard_state(state, self.mesh, shardings)
 
     # ------------------------------------------------------------------ train

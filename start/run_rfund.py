@@ -57,6 +57,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over dp (ZeRO-3)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--max_seq_len", type=int, default=512)
@@ -232,6 +234,7 @@ def main(argv=None, dataset_cls_name="rfund"):
         seed=args.seed,
         dp=args.dp,
         tp=args.tp,
+        fsdp=args.fsdp,
         detail_eval=args.detail_eval,
         save_eval_detail=args.save_eval_detail,
         start_eval_epoch=args.start_eval_epoch,

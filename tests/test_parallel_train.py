@@ -91,6 +91,40 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(a["total"], b["total"], rtol=1e-4)
 
 
+def test_fsdp_matches_replicated_and_actually_shards():
+    """ZeRO-3-style fsdp (params + adam moments sharded over dp): numerics
+    identical to the replicated layout, and big kernels really live 1/dp per
+    device."""
+    cfg = _cfg()
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    batch = _batch()
+    opt = T.make_optimizer(None, lr=1e-3, total_steps=10,
+                           downstream_speedup_ratio=30.0)
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    bs = pmesh.batch_sharding(mesh)
+    dev_batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bs), batch)
+
+    hists = {}
+    for fsdp in (False, True):
+        state = T.create_train_state(cfg, model, opt, batch, seed=0)
+        shardings = pmesh.param_shardings(state.params, mesh, fsdp=fsdp,
+                                          fsdp_min_elements=0)
+        state = T.shard_state(state, mesh, shardings)
+        if fsdp:
+            # the mlp intermediate kernel must actually be dp-sharded
+            k = state.params["backbone"]["layer_0"]["mlp"][
+                "intermediate_dense"]["kernel"]
+            assert "dp" in tuple(k.sharding.spec), k.sharding
+            assert len(k.sharding.device_set) == 8
+        step_fn = T.jit_train_step(model, opt)
+        hist = []
+        for _ in range(2):
+            state, metrics = step_fn(state, dev_batch)
+            hist.append(float(metrics["total"]))
+        hists[fsdp] = hist
+    np.testing.assert_allclose(hists[True], hists[False], rtol=1e-4)
+
+
 def test_decoder_speedup_applied():
     cfg = _cfg()
     model = PEneoModel(cfg, dtype=jnp.float32)
