@@ -40,6 +40,9 @@ def main(argv=None):
                    help="data-parallel chips (batch shards over the mesh)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel chips (Megatron-style kernel shards)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel chips (pair-grid rows sharded; "
+                        "the long-context axis)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -52,6 +55,7 @@ def main(argv=None):
         score_thresh=args.score_thresh,
         dp=args.dp,
         tp=args.tp,
+        sp=args.sp,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

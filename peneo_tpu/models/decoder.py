@@ -151,6 +151,7 @@ class PEneoDecoder(nn.Module):
         return_logits: bool = False,
         also_decode: bool = False,
         pallas_head_weights=None,  # stacked (w1, b1, w2, b2) → fused kernel
+        return_pair_inputs: bool = False,  # expose (a, b) for sp sharding
     ):
         cfg = self.cfg
         bc = cfg.backbone_config or {}
@@ -175,6 +176,13 @@ class PEneoDecoder(nn.Module):
         a = nn.Dense(dec_h, kernel_init=init, dtype=self.dtype, name="comb_a")(h)
         b = nn.Dense(dec_h, use_bias=False, kernel_init=init, dtype=self.dtype,
                      name="comb_b")(h)
+
+        if return_pair_inputs:
+            # sequence-parallel path (parallel/seq_parallel.py): the caller
+            # shards the pair grid's rows over the sp mesh axis and evaluates
+            # the heads from stacked weights — return the unpadded combine
+            # features straight from the (dp/tp-GSPMD) backbone+shrink stage.
+            return {"a": a, "b": b, "valid_len": Ld}
 
         bs = min(cfg.pair_block_size, max(Ld, 8))
         Lp = ((Ld + bs - 1) // bs) * bs

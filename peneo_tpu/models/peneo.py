@@ -70,6 +70,7 @@ class PEneoModel(nn.Module):
         return_logits: bool = False,
         also_decode: bool = False,
         pallas_head_weights=None,
+        return_pair_inputs: bool = False,
     ):
         cfg = self.cfg
         fam = cfg.backbone_family()
@@ -98,4 +99,5 @@ class PEneoModel(nn.Module):
         decoder = PEneoDecoder(cfg, self.dtype, name="peneo_decoder")
         return decoder(hidden, labels=labels, deterministic=deterministic,
                        return_logits=return_logits, also_decode=also_decode,
-                       pallas_head_weights=pallas_head_weights)
+                       pallas_head_weights=pallas_head_weights,
+                       return_pair_inputs=return_pair_inputs)

@@ -28,15 +28,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1,
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
               devices=None) -> Mesh:
+    """(dp, tp, sp) mesh. ``sp`` is the sequence-parallel axis sharding the
+    pair grid's rows (parallel/seq_parallel.py); dp/tp semantics per the
+    module docstring. sp=1 keeps the axis degenerate so every existing
+    (dp, tp) PartitionSpec works unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = len(devices) // tp
-    assert dp * tp == len(devices), (
-        f"dp({dp}) * tp({tp}) != device count {len(devices)}")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = len(devices) // (tp * sp)
+    assert dp * tp * sp == len(devices), (
+        f"dp({dp}) * tp({tp}) * sp({sp}) != device count {len(devices)}")
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, ("dp", "tp", "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

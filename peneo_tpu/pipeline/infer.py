@@ -99,12 +99,15 @@ class InferenceService:
         score_thresh: float = 0.0,
         dp: int = 1,
         tp: int = 1,
+        sp: int = 1,
     ) -> None:
-        """``dp``/``tp`` > 1 serve over a ``jax.sharding.Mesh``: the page
-        batch shards over dp chips and the attention/MLP/pair-head kernels
-        split Megatron-style over tp (parallel/mesh.py rules) — the same
-        GSPMD layout the trainer uses, so one jitted forward scales from one
-        chip to a pod slice. ``batch_size`` must be divisible by dp."""
+        """``dp``/``tp``/``sp`` > 1 serve over a ``jax.sharding.Mesh``: the
+        page batch shards over dp chips, the attention/MLP/pair-head kernels
+        split Megatron-style over tp (parallel/mesh.py rules), and ``sp``
+        shards the O(L²) pair grid's rows (parallel/seq_parallel.py) — the
+        long-context axis: at L ≫ 512 the pair grid dominates, and sp chips
+        each score 1/sp of it. One jitted forward scales from one chip to a
+        pod slice. ``batch_size`` must be divisible by dp."""
         import jax
         import jax.numpy as jnp
 
@@ -139,12 +142,13 @@ class InferenceService:
                 f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
         self.mesh = None
         self.batch_sharding = None
-        if dp * tp > 1:
+        self.sp = sp
+        if dp * tp * sp > 1:
             assert batch_size % dp == 0, (batch_size, dp)
             from ..parallel import mesh as pmesh
 
-            self.mesh = pmesh.make_mesh(dp=dp, tp=tp,
-                                        devices=jax.devices()[:dp * tp])
+            self.mesh = pmesh.make_mesh(dp=dp, tp=tp, sp=sp,
+                                        devices=jax.devices()[:dp * tp * sp])
             self.batch_sharding = pmesh.batch_sharding(self.mesh)
             shardings = pmesh.param_shardings(params, self.mesh)
             self.params = jax.tree_util.tree_map(
@@ -167,17 +171,40 @@ class InferenceService:
         # for long sequences (docs/documentation.md §8)
         use_pallas = bool(getattr(self.cfg, "use_pallas_pair_head", False))
 
-        def _fwd(p, ids, bbox, attn, image):
-            pallas_w = None
-            if use_pallas:
-                from ..models.decoder import HEAD_NAMES
-                from ..ops.pair_head import stack_head_weights
+        if sp > 1:
+            # sequence-parallel serving: the backbone runs under dp/tp GSPMD,
+            # then the pair grid is row-sharded over sp via shard_map
+            # (parallel/seq_parallel.py) — takes precedence over the Pallas
+            # kernel (each sp shard uses the XLA blockwise math).
+            assert self.cfg.max_spots_per_head > 0, \
+                "sp serving requires compact spot extraction"
+            from ..models.decoder import HEAD_NAMES
+            from ..ops.pair_head import stack_head_weights
+            from ..parallel.seq_parallel import sp_pair_spots
 
-                pallas_w = stack_head_weights(
+            def _fwd(p, ids, bbox, attn, image):
+                pair_in = self.model.apply(
+                    {"params": p}, ids, bbox, attn, image=image,
+                    deterministic=True, return_pair_inputs=True)
+                weights = stack_head_weights(
                     p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
-            return self.model.apply(
-                {"params": p}, ids, bbox, attn, image=image,
-                deterministic=True, pallas_head_weights=pallas_w)
+                return sp_pair_spots(
+                    pair_in["a"], pair_in["b"], weights, self.mesh,
+                    self.cfg.max_spots_per_head,
+                    valid_len=int(pair_in["valid_len"]),
+                    topk_method=self.cfg.spot_topk)
+        else:
+            def _fwd(p, ids, bbox, attn, image):
+                pallas_w = None
+                if use_pallas:
+                    from ..models.decoder import HEAD_NAMES
+                    from ..ops.pair_head import stack_head_weights
+
+                    pallas_w = stack_head_weights(
+                        p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
+                return self.model.apply(
+                    {"params": p}, ids, bbox, attn, image=image,
+                    deterministic=True, pallas_head_weights=pallas_w)
 
         self._forward = jax.jit(_fwd)
         self._jax = jax

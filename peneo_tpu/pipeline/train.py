@@ -205,13 +205,74 @@ def jit_train_step(model, optimizer):
     return jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
 
 
-def make_multi_train_step(model, optimizer, steps_per_call: int):
+def make_sp_train_step(model: PEneoModel, optimizer, mesh,
+                       sp_block_size: int = 128, _jit: bool = True):
+    """Training step with the pair grid sharded over the mesh's ``sp`` axis
+    (parallel/seq_parallel.py): the backbone + shrink/combine run under
+    dp/tp GSPMD as usual, then the O(L²) loss is computed row-sharded via
+    partial-manual shard_map with a psum('sp') reduction. Long-context
+    training (L ≫ 512) splits its dominant FLOPs across sp chips. OHEM is
+    not supported on this path (decoder docstring); classifier dropout draws
+    from its own fold_in stream — same distribution, different draws than
+    the single-shard module path."""
+    from ..models.decoder import HEAD_NAMES
+    from ..ops.pair_head import stack_head_weights
+    from ..parallel.seq_parallel import sp_pair_losses
+
+    cfg = model.cfg
+    assert cfg.peneo_ohem_num_positive == -1 and \
+        cfg.peneo_ohem_num_negative == -1, "sp path does not support OHEM"
+    drop_p = (cfg.backbone_config or {}).get("hidden_dropout_prob", 0.1)
+    ratios = cfg.peneo_loss_ratio or [1.0] * 5
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        rng, dropout_rng, head_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            pair_in = model.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch["bbox"],
+                batch.get("attention_mask"),
+                image=batch.get("image"),
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+                return_pair_inputs=True,
+            )
+            weights = stack_head_weights(
+                params["peneo_decoder"], HEAD_NAMES, model.dtype)
+            losses = sp_pair_losses(
+                pair_in["a"], pair_in["b"], weights, batch["labels"],
+                cfg.peneo_category_weights, ratios, mesh,
+                valid_len=int(pair_in["valid_len"]),
+                block_size=sp_block_size,
+                dropout_rng=head_rng, dropout_p=drop_p)
+            return losses["total"], losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,)) if _jit else train_step
+
+
+def make_multi_train_step(model, optimizer, steps_per_call: int,
+                          base_step=None):
     """K train steps per dispatch via lax.scan over a stacked batch
     (leading axis = step). Amortizes per-call dispatch/transfer overhead —
     on remote transports each call costs O(#state leaves); measured ~700 ms
     of overhead per step on the tunnel. Returns mean metrics over the K
-    steps."""
-    step = make_train_step(model, optimizer)
+    steps. ``base_step`` swaps in a different unjitted single-step fn (e.g.
+    the sequence-parallel step)."""
+    step = base_step if base_step is not None else make_train_step(
+        model, optimizer)
 
     def multi_step(state: TrainState, stacked_batch):
         def body(s, b):

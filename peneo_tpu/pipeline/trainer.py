@@ -55,6 +55,9 @@ class TrainingArguments:
     seed: int = 42
     dp: Optional[int] = None
     tp: int = 1
+    # sequence parallel: shard the O(L²) pair-grid rows over sp chips
+    # (parallel/seq_parallel.py) — the long-context training axis
+    sp: int = 1
     # ZeRO-3-style: shard params + adam moments over dp (parallel/mesh.py)
     fsdp: bool = False
     detail_eval: bool = False
@@ -104,7 +107,7 @@ class PEneoTrainer:
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()  # resumed/restarted runs skip recompiles
-        self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp)
+        self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
 
         self.optimizer = T.make_optimizer(
@@ -116,9 +119,16 @@ class PEneoTrainer:
             downstream_speedup_ratio=cfg.peneo_downstream_speedup_ratio,
             max_grad_norm=args.max_grad_norm,
         )
+        base_step = None
+        if args.sp > 1:
+            base_step = T.make_sp_train_step(
+                self.model, self.optimizer, self.mesh, _jit=False)
         if args.steps_per_call > 1:
             self._train_step = T.make_multi_train_step(
-                self.model, self.optimizer, args.steps_per_call)
+                self.model, self.optimizer, args.steps_per_call,
+                base_step=base_step)
+        elif base_step is not None:
+            self._train_step = jax.jit(base_step, donate_argnums=(0,))
         else:
             self._train_step = T.jit_train_step(self.model, self.optimizer)
         self._eval_step = jax.jit(T.make_eval_step(self.model))

@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel chips: pair-grid rows sharded "
+                        "(long-context training; no OHEM on this path)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over dp (ZeRO-3)")
     p.add_argument("--dtype", type=str, default="bfloat16",
@@ -234,6 +237,7 @@ def main(argv=None, dataset_cls_name="rfund"):
         seed=args.seed,
         dp=args.dp,
         tp=args.tp,
+        sp=args.sp,
         fsdp=args.fsdp,
         detail_eval=args.detail_eval,
         save_eval_detail=args.save_eval_detail,

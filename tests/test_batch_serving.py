@@ -87,3 +87,21 @@ def test_sharded_serving_matches_single_device(serving_setup):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+
+
+def test_sp_serving_matches_single_device(serving_setup):
+    """Sequence-parallel serving (pair-grid rows sharded over sp,
+    parallel/seq_parallel.py) must also reproduce single-device results."""
+    wdir, img_dir, ocr_dir, tok = serving_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    base = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                            batch_size=4)
+    sp = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                          batch_size=4, dp=2, tp=2, sp=2)
+    r1 = base.run(img_dir, ocr_dir)
+    r2 = sp.run(img_dir, ocr_dir)
+    assert set(r1) == set(r2) and len(r1) == 5
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k

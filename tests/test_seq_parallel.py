@@ -1,0 +1,167 @@
+"""Sequence-parallel pair grid (parallel/seq_parallel.py) on the 8-device
+virtual CPU mesh: sp-sharded spots and losses must match the single-device
+decoder bit-for-bit (fp32, exact top-k), and the sp train step must match
+the GSPMD train step."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from peneo_tpu.config import LiltConfig, PEneoConfig
+from peneo_tpu.data.tagging import batch_spots_to_matrix
+from peneo_tpu.models.decoder import HEAD_NAMES
+from peneo_tpu.models.peneo import PEneoModel
+from peneo_tpu.ops.pair_head import stack_head_weights
+from peneo_tpu.parallel import mesh as pmesh
+from peneo_tpu.parallel.seq_parallel import (sp_pair_losses, sp_pair_spots,
+                                             sp_row_layout)
+from peneo_tpu.pipeline import train as T
+
+B, L = 4, 19  # Ld = 18: odd size exercises sp row padding
+TINY = dict(
+    vocab_size=64, hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=96, max_position_embeddings=64, channel_shrink_ratio=4,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0, pad_token_id=0,
+)
+
+
+def _cfg(**kw):
+    return PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig.from_dict(TINY).to_dict(),
+        pair_block_size=8,
+        peneo_downstream_speedup_ratio=30.0,
+        peneo_category_weights=[1.0, 10.0, 10.0],
+        **kw,
+    )
+
+
+def _batch(seed=0, with_labels=True):
+    rng = np.random.default_rng(seed)
+    input_ids = rng.integers(2, 64, (B, L)).astype(np.int32)
+    attn = np.ones((B, L), np.int32)
+    x0 = rng.integers(0, 900, (B, L))
+    y0 = rng.integers(0, 900, (B, L))
+    bbox = np.stack([x0, y0, x0 + 50, y0 + 20], -1).astype(np.int32)
+    out = {"input_ids": input_ids, "bbox": bbox, "attention_mask": attn}
+    if with_labels:
+        Ld = L - 1
+        labels = {}
+        for name in HEAD_NAMES:
+            c = 2 if name == "line_extraction" else 3
+            spots_b = [[(int(i), int(rng.integers(i, Ld)),
+                         int(rng.integers(1, c)))
+                        for i in rng.integers(0, Ld, 3)] for _ in range(B)]
+            labels[name] = batch_spots_to_matrix(spots_b, Ld)
+        out["labels"] = labels
+    return out
+
+
+def _init(cfg, batch):
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                        batch["bbox"], batch["attention_mask"],
+                        deterministic=True)["params"]
+    return model, params
+
+
+def test_sp_row_layout():
+    lpad, bs = sp_row_layout(18, 2, 128)
+    assert lpad % 2 == 0 and lpad >= 18 and (lpad // 2) % bs == 0
+    lpad, bs = sp_row_layout(511, 8, 128)
+    assert lpad == 512 and bs == 64
+    lpad, bs = sp_row_layout(2048, 4, 128)
+    assert lpad == 2048 and bs == 128
+
+
+def test_sp_spots_match_single_device():
+    k = 256  # > all pair positions, so nothing is dropped
+    cfg = _cfg(max_spots_per_head=k, spot_topk="exact")
+    batch = _batch(with_labels=False)
+    model, params = _init(cfg, batch)
+
+    single = model.apply({"params": params}, batch["input_ids"],
+                         batch["bbox"], batch["attention_mask"],
+                         deterministic=True)
+
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    pair_in = model.apply({"params": params}, batch["input_ids"],
+                          batch["bbox"], batch["attention_mask"],
+                          deterministic=True, return_pair_inputs=True)
+    weights = stack_head_weights(params["peneo_decoder"], HEAD_NAMES,
+                                 jnp.float32)
+    sp_out = sp_pair_spots(pair_in["a"], pair_in["b"], weights, mesh, k,
+                           valid_len=int(pair_in["valid_len"]))
+
+    for name in HEAD_NAMES:
+        ref, got = single[name], sp_out[name]
+        np.testing.assert_array_equal(np.asarray(ref["spot_count"]),
+                                      np.asarray(got["spot_count"]))
+        np.testing.assert_array_equal(np.asarray(ref["seq_len"]),
+                                      np.asarray(got["seq_len"]))
+        for bi in range(B):
+            def spot_set(d):
+                idx = np.asarray(d["spot_idx"][bi])
+                tag = np.asarray(d["spot_tag"][bi])
+                sc = np.asarray(d["spot_score"][bi])
+                keep = sc > -0.5
+                order = np.argsort(idx[keep])
+                return (idx[keep][order], tag[keep][order], sc[keep][order])
+
+            ri, rt, rs = spot_set(ref)
+            gi, gt, gs = spot_set(got)
+            np.testing.assert_array_equal(ri, gi)
+            np.testing.assert_array_equal(rt, gt)
+            np.testing.assert_allclose(rs, gs, rtol=1e-5)
+
+
+def test_sp_losses_match_module_path():
+    cfg = _cfg()
+    batch = _batch()
+    model, params = _init(cfg, batch)
+
+    ref = model.apply({"params": params}, batch["input_ids"], batch["bbox"],
+                      batch["attention_mask"], labels=batch["labels"],
+                      deterministic=True)
+
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    pair_in = model.apply({"params": params}, batch["input_ids"],
+                          batch["bbox"], batch["attention_mask"],
+                          deterministic=True, return_pair_inputs=True)
+    weights = stack_head_weights(params["peneo_decoder"], HEAD_NAMES,
+                                 jnp.float32)
+    got = sp_pair_losses(pair_in["a"], pair_in["b"], weights,
+                         batch["labels"], cfg.peneo_category_weights,
+                         cfg.peneo_loss_ratio or [1.0] * 5, mesh,
+                         valid_len=int(pair_in["valid_len"]))
+    for name in list(HEAD_NAMES) + ["total"]:
+        np.testing.assert_allclose(float(got[name]), float(ref[name]),
+                                   rtol=1e-5)
+
+
+def test_sp_train_step_matches_gspmd():
+    cfg = _cfg()
+    batch = _batch()
+    model, _ = _init(cfg, batch)
+    opt = T.make_optimizer(None, lr=1e-3, total_steps=10,
+                           downstream_speedup_ratio=30.0)
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    bsh = pmesh.batch_sharding(mesh)
+    dev_batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+
+    hists = {}
+    for kind in ("gspmd", "sp"):
+        state = T.create_train_state(cfg, model, opt, batch, seed=0)
+        shardings = pmesh.param_shardings(state.params, mesh)
+        state = T.shard_state(state, mesh, shardings)
+        step_fn = (T.jit_train_step(model, opt) if kind == "gspmd"
+                   else T.make_sp_train_step(model, opt, mesh))
+        hist = []
+        for _ in range(3):
+            state, metrics = step_fn(state, dev_batch)
+            hist.append(float(metrics["total"]))
+        hists[kind] = hist
+    # dropout is 0 in the tiny config → identical losses step for step
+    np.testing.assert_allclose(hists["sp"], hists["gspmd"], rtol=1e-4)
+    assert hists["sp"][-1] < hists["sp"][0]
