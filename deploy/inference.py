@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel chips (pair-grid rows sharded; "
                         "the long-context axis)")
+    p.add_argument("--workers", type=int, default=4,
+                   help="preprocess threads (4 measured best; more loses "
+                        "to GIL contention)")
+    p.add_argument("--decode_workers", type=int, default=2,
+                   help="host-decode threads (kept off the dispatch thread)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -60,7 +65,9 @@ def main(argv=None):
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")
     results = service.run(args.dir_image, args.dir_ocr,
-                          visualize_dir=args.dir_visualize)
+                          visualize_dir=args.dir_visualize,
+                          workers=args.workers,
+                          decode_workers=args.decode_workers)
     with open(args.dir_save, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=1)
     print(f"[peneo] wrote {args.dir_save}")

@@ -64,6 +64,9 @@ class ArtifactInferenceService:
             return call(*args)
 
         svc._forward = forward
+        # artifacts serialize the raw per-head dict (export predates the
+        # packed-transport optimization); skip the unpack step
+        svc._packed = False
 
     def run(self, *args, **kwargs):
         return self._svc.run(*args, **kwargs)

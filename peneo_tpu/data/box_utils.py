@@ -121,15 +121,14 @@ def box_augmentation(
     )
 
 
+# full-width → half-width map (U+FF01..U+FF5E and ideographic space);
+# str.translate runs the scan in C — the per-char python loop this replaces
+# was a measured serving-preprocess hotspot (reference semantics:
+# data/data_utils.py:173-195)
+_F2H_TABLE = {0x3000: " "}
+_F2H_TABLE.update({c: chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F)})
+
+
 def string_f2h(text: str) -> str:
     """Convert full-width characters to half-width (U+FF01..U+FF5E and ideographic space)."""
-
-    def f2h(c: str) -> str:
-        code = ord(c)
-        if code == 0x3000:
-            return " "
-        if 0xFF01 <= code <= 0xFF5E:
-            return chr(code - 0xFEE0)
-        return c
-
-    return "".join(f2h(c) for c in text)
+    return text.translate(_F2H_TABLE)

@@ -79,6 +79,14 @@ class PairBlockBank(nn.Module):
     Inputs: ``a_blk (B, bs, H)`` (rows), ``b_all (B, L, H)`` (columns).
     Output: dict head → logits (B, bs, L, C). Wrapped in nn.remat by the
     decoder so pair features are recomputed in backward.
+
+    Deliberately one independent classifier chain per head: XLA fuses each
+    head's silu(a+b) → fc_0 → silu → fc_out into ONE mega-fusion that keeps
+    the (bs, L, H) intermediates in registers/VMEM. A measured alternative —
+    concatenating the 5 first-layer kernels into one H→5H matmul — was 13%
+    SLOWER end-to-end (245.4 → 212.9 pages/s): the concatenated activation
+    has 6 consumers, which breaks producer fusion and spills the
+    (B, bs, L, 5H) intermediate to HBM. Don't re-fuse.
     """
 
     cfg: PEneoConfig
@@ -358,7 +366,9 @@ def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int,
     flat_scores = jnp.where(valid, scores, -1.0).reshape(B, L * L)
     if method == "approx":
         # TPU-native partial reduce (exact-sort fallback on other backends);
-        # see config.spot_topk for the recall rationale
+        # see config.spot_topk for the recall rationale. (Tried: bf16 sort
+        # keys to halve the payload — XLA compile time exploded >10 min for
+        # an estimated ~2% win; keep f32 keys.)
         top_scores, top_idx = jax.lax.approx_max_k(
             flat_scores, k, recall_target=0.99)
     else:
@@ -372,6 +382,32 @@ def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int,
         "spot_count": count.astype(jnp.int32),
         "seq_len": jnp.full((B,), L, jnp.int32),
     }
+
+
+def pack_spots(out):
+    """Pack the 5 heads' compact-spot dicts into TWO int32 device arrays.
+
+    Serving transport optimization: fetching the raw dict is 25 small
+    device→host transfers per batch; on a high-RTT transport (the remote-TPU
+    tunnel measures ~5 ms per array) that serializes into ~125 ms/batch of
+    fetch. Packed it is 2 transfers. Scores are bitcast (not converted) so
+    the unpack (pipeline/decode.unpack_spots) restores float32 exactly.
+
+    Returns (big (5, 3, B, k) int32 = [idx, tag, score-bits],
+             small (5, 2, B) int32 = [count, seq_len]).
+    """
+    big = jnp.stack([
+        jnp.stack([
+            out[n]["spot_idx"].astype(jnp.int32),
+            out[n]["spot_tag"].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                out[n]["spot_score"].astype(jnp.float32), jnp.int32),
+        ], axis=0) for n in HEAD_NAMES], axis=0)
+    small = jnp.stack([
+        jnp.stack([out[n]["spot_count"].astype(jnp.int32),
+                   out[n]["seq_len"].astype(jnp.int32)], axis=0)
+        for n in HEAD_NAMES], axis=0)
+    return big, small
 
 
 def _ce_sums(logits, targets, class_weights, mask):

@@ -72,29 +72,32 @@ class LayoutLMv3Embeddings(nn.Module):
     def __call__(self, input_ids, bbox, deterministic: bool):
         cfg = self.cfg
         init = dense_init(cfg)
+        # Embeds gather fp32 rows and cast only the gathered output: a
+        # bf16-dtype Embed converts the WHOLE table before gathering (~1.1 GB
+        # of HBM traffic per forward on the 250k-row XLM vocab; see the same
+        # fix in lilt.py).
         words = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                          embedding_init=embed_init(cfg, cfg.pad_token_id),
-                         dtype=self.dtype, name="word_embeddings")(input_ids)
+                         name="word_embeddings")(input_ids)
         tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
-                            embedding_init=init, dtype=self.dtype,
+                            embedding_init=init,
                             name="token_type_embeddings")(jnp.zeros_like(input_ids))
         pos_ids = make_position_ids(input_ids, cfg.pad_token_id)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        embedding_init=embed_init(cfg, cfg.pad_token_id),
-                       dtype=self.dtype,
                        name="position_embeddings")(pos_ids)
 
         x_emb = nn.Embed(cfg.max_2d_position_embeddings, cfg.coordinate_size,
-                         embedding_init=init, dtype=self.dtype,
+                         embedding_init=init,
                          name="x_position_embeddings")
         y_emb = nn.Embed(cfg.max_2d_position_embeddings, cfg.coordinate_size,
-                         embedding_init=init, dtype=self.dtype,
+                         embedding_init=init,
                          name="y_position_embeddings")
         h_emb = nn.Embed(cfg.max_2d_position_embeddings, cfg.shape_size,
-                         embedding_init=init, dtype=self.dtype,
+                         embedding_init=init,
                          name="h_position_embeddings")
         w_emb = nn.Embed(cfg.max_2d_position_embeddings, cfg.shape_size,
-                         embedding_init=init, dtype=self.dtype,
+                         embedding_init=init,
                          name="w_position_embeddings")
         spatial = jnp.concatenate([
             x_emb(bbox[:, :, 0]),
@@ -106,8 +109,9 @@ class LayoutLMv3Embeddings(nn.Module):
         ], axis=-1)
 
         x = words + tok_type + pos + spatial
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                          name="LayerNorm")(x)
+        x = x.astype(self.dtype)
         return nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
 
 

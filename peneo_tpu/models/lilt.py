@@ -81,18 +81,24 @@ class LiltTextEmbeddings(nn.Module):
     def __call__(self, input_ids, position_ids, deterministic: bool):
         cfg = self.cfg
         init = dense_init(cfg)
+        # Embeds gather in fp32 (the params' dtype) and the sum+LN stays
+        # fp32, casting only the (B, L, H) output: an Embed with
+        # dtype=bfloat16 makes XLA convert the ENTIRE table before the
+        # gather — for the 250k-row vocab that is ~1.1 GB of HBM traffic
+        # per forward (profiled: convert_element_type on [250002,768]).
         words = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                          embedding_init=embed_init(cfg, cfg.pad_token_id),
-                         dtype=self.dtype, name="word_embeddings")(input_ids)
+                         name="word_embeddings")(input_ids)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        embedding_init=embed_init(cfg, cfg.pad_token_id),
-                       dtype=self.dtype, name="position_embeddings")(position_ids)
+                       name="position_embeddings")(position_ids)
         # token_type_ids are always zeros in the PEneo pipeline
         tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
-                            dtype=self.dtype, name="token_type_embeddings")(
+                            name="token_type_embeddings")(
             jnp.zeros_like(input_ids))
         x = words + tok_type + pos
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm")(x)
+        x = x.astype(self.dtype)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return x
 

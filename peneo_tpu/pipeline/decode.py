@@ -181,6 +181,24 @@ def decode_sample(
     return kv_pairs, lines, le_map, el_head_map, el_tail_map, lg_head_map, lg_tail_map
 
 
+def unpack_spots(big, small) -> Dict[str, Dict[str, np.ndarray]]:
+    """Inverse of models/decoder.pack_spots: the two fetched int32 arrays →
+    the per-head compact-spot dict the decoders consume. Score bits are
+    re-viewed as float32 (bit-exact — pack used a bitcast, not a convert)."""
+    big = np.asarray(big)
+    small = np.asarray(small)
+    out = {}
+    for hi, name in enumerate(HEAD_NAMES):
+        out[name] = {
+            "spot_idx": big[hi, 0],
+            "spot_tag": big[hi, 1].astype(np.int8),
+            "spot_score": np.ascontiguousarray(big[hi, 2]).view(np.float32),
+            "spot_count": small[hi, 0],
+            "seq_len": small[hi, 1],
+        }
+    return out
+
+
 def spot_arrays_from_device_outputs(
     head_outputs: Dict[str, Dict[str, np.ndarray]],
     sample_idx: int,

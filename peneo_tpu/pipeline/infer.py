@@ -36,10 +36,20 @@ _DEPLOY_REPLACEMENTS = (
 )
 
 
+# Single-char replacements run as ONE C-level str.translate scan instead of
+# 18 sequential str.replace passes (a measured serving-preprocess hotspot).
+# Equivalent to the sequential order because no destination string contains
+# another rule's source char. "T\u03bfpic" (the one multi-char source) keeps
+# its own guarded replace.
+_DEPLOY_TABLE = {ord(s): d for s, d in _DEPLOY_REPLACEMENTS if len(s) == 1}
+_DEPLOY_MULTI = [(s, d) for s, d in _DEPLOY_REPLACEMENTS if len(s) > 1]
+
+
 def deploy_text_cleanup(text: str) -> str:
-    for src, dst in _DEPLOY_REPLACEMENTS:
-        text = text.replace(src, dst)
-    return string_f2h(text)
+    for src, dst in _DEPLOY_MULTI:
+        if src in text:
+            text = text.replace(src, dst)
+    return string_f2h(text.translate(_DEPLOY_TABLE))
 
 
 def tesseract_ocr(image_path: str) -> Tuple[List[str], List[List[float]]]:
@@ -170,6 +180,12 @@ class InferenceService:
         # the same param tree, so outputs are identical; measured faster only
         # for long sequences (docs/documentation.md §8)
         use_pallas = bool(getattr(self.cfg, "use_pallas_pair_head", False))
+        # pack the 25 compact-spot output arrays into 2 for the fetch
+        # (models/decoder.pack_spots): fewer per-array RTTs on the remote
+        # transport. Measured gain is modest at L=512 (the fetch overlaps
+        # device compute under double buffering) but it removes the
+        # per-array latency floor entirely for small batches.
+        self._packed = self.cfg.max_spots_per_head > 0
 
         if sp > 1:
             # sequence-parallel serving: the backbone runs under dp/tp GSPMD,
@@ -188,11 +204,14 @@ class InferenceService:
                     deterministic=True, return_pair_inputs=True)
                 weights = stack_head_weights(
                     p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
-                return sp_pair_spots(
+                out = sp_pair_spots(
                     pair_in["a"], pair_in["b"], weights, self.mesh,
                     self.cfg.max_spots_per_head,
                     valid_len=int(pair_in["valid_len"]),
                     topk_method=self.cfg.spot_topk)
+                from ..models.decoder import pack_spots
+
+                return pack_spots(out)
         else:
             def _fwd(p, ids, bbox, attn, image):
                 pallas_w = None
@@ -202,9 +221,14 @@ class InferenceService:
 
                     pallas_w = stack_head_weights(
                         p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
-                return self.model.apply(
+                out = self.model.apply(
                     {"params": p}, ids, bbox, attn, image=image,
                     deterministic=True, pallas_head_weights=pallas_w)
+                if self._packed:
+                    from ..models.decoder import pack_spots
+
+                    return pack_spots(out)
+                return out
 
         self._forward = jax.jit(_fwd)
         self._jax = jax
@@ -279,6 +303,8 @@ class InferenceService:
         out = self._jax.device_get(self._forward(
             self.params, batched["input_ids"], batched["bbox"],
             batched["attention_mask"], batched.get("image")))
+        if self._packed:
+            out = dec.unpack_spots(*out)
         kv_pairs, lines, *_ = dec.decode_pred_sample(
             texts, out, 0, seq_len, bbox=orig_bbox,
             score_thresh=self.score_thresh)
@@ -301,6 +327,9 @@ class InferenceService:
         if self.batch_sharding is not None:
             stacked = {k: self._jax.device_put(v, self.batch_sharding)
                        for k, v in stacked.items()}
+        # input packing was tried and measured SLOWER both ways: (B, L, 6)
+        # pads 6 → 128 TPU lanes; (B, 6, L) forces a bbox relayout before the
+        # embedding gathers. Three separate transfers win on this transport.
         return self._forward(
             self.params, stacked["input_ids"], stacked["bbox"],
             stacked["attention_mask"], stacked.get("image"))
@@ -309,6 +338,8 @@ class InferenceService:
         """Fetch a dispatched forward and host-decode its pages (padded rows
         are discarded)."""
         out = self._jax.device_get(out_device)
+        if self._packed:
+            out = dec.unpack_spots(*out)
         results = []
         for i, (_, texts, orig_bbox, seq_len) in enumerate(page_inputs):
             kv_pairs, lines, *_ = dec.decode_pred_sample(
@@ -323,11 +354,46 @@ class InferenceService:
         return self.collect_batch(self.dispatch_batch(page_inputs),
                                   page_inputs)
 
+    def _decode_page(self, out_host, idx, page, dt, img_path, visualize_dir):
+        """One page's host decode → result record (runs on the decode pool)."""
+        _, texts, orig_bbox, seq_len = page
+        kv_pairs, lines, *_ = dec.decode_pred_sample(
+            texts, out_host, idx, seq_len, bbox=orig_bbox,
+            score_thresh=self.score_thresh)
+        record = {
+            "kv_pairs": [
+                {"key": k, "value": v,
+                 "key_box": [float(x) for x in kb],
+                 "value_box": [float(x) for x in vb]}
+                for k, v, kb, vb in kv_pairs
+            ],
+            "lines": [{"text": t, "box": [float(x) for x in b]}
+                      for t, b in lines],
+            "seconds": dt,
+        }
+        if visualize_dir:
+            from ..utils.visualize import draw_page
+
+            os.makedirs(visualize_dir, exist_ok=True)
+            draw_page(img_path, kv_pairs, lines,
+                      os.path.join(visualize_dir,
+                                   os.path.basename(img_path)))
+        return record
+
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
-            visualize_dir: Optional[str] = None) -> Dict[str, Dict]:
+            visualize_dir: Optional[str] = None,
+            workers: int = 4, decode_workers: int = 2) -> Dict[str, Dict]:
         """Batch inference over a directory: pages are preprocessed in a
         worker thread pool and fed ``batch_size`` at a time (the north-star
-        batch-serving path; per-page mode is ``batch_size=1``)."""
+        batch-serving path; per-page mode is ``batch_size=1``).
+
+        Pipelining: the main thread only dispatches forwards and fetches
+        outputs (double buffering, one batch in flight); per-page decode is
+        submitted to a separate small pool so it never blocks the next
+        dispatch — decode of batch i overlaps device compute of batch i+1
+        AND the fetch of batch i+1. A separate pool is required: the
+        preprocess pool's queue holds every remaining page, so decode tasks
+        submitted there would wait for all preprocessing to finish."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
@@ -343,8 +409,10 @@ class InferenceService:
         from concurrent.futures import ThreadPoolExecutor
 
         results = {}
+        pending = []  # (basename, future) in input order
         t_start = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool, \
+                ThreadPoolExecutor(max_workers=decode_workers) as dpool:
             prepped = pool.map(
                 lambda pair: self.preprocess_page(*pair),
                 zip(image_paths, ocr_paths))
@@ -357,32 +425,18 @@ class InferenceService:
                     return
                 out_dev, pages, paths, t0 = inflight
                 inflight = None
-                outs = self.collect_batch(out_dev, pages)
+                out = self._jax.device_get(out_dev)
+                if self._packed:
+                    out = dec.unpack_spots(*out)
                 dt = (time.perf_counter() - t0) / len(pages)
-                for img, (kv_pairs, lines) in zip(paths, outs):
-                    results[os.path.basename(img)] = {
-                        "kv_pairs": [
-                            {"key": k, "value": v,
-                             "key_box": [float(x) for x in kb],
-                             "value_box": [float(x) for x in vb]}
-                            for k, v, kb, vb in kv_pairs
-                        ],
-                        "lines": [{"text": t, "box": [float(x) for x in b]}
-                                  for t, b in lines],
-                        "seconds": dt,
-                    }
-                    if visualize_dir:
-                        from ..utils.visualize import draw_page
-
-                        os.makedirs(visualize_dir, exist_ok=True)
-                        draw_page(img, kv_pairs, lines,
-                                  os.path.join(visualize_dir,
-                                               os.path.basename(img)))
+                for i, (img, page) in enumerate(zip(paths, pages)):
+                    pending.append((os.path.basename(img), dpool.submit(
+                        self._decode_page, out, i, page, dt, img,
+                        visualize_dir)))
 
             def flush():
-                # double buffering: launch this batch, THEN fetch+decode the
+                # double buffering: launch this batch, THEN fetch the
                 # previous one while the device works — hides dispatch RTT
-                # and overlaps host decode with device compute
                 nonlocal inflight
                 if not buf:
                     return
@@ -400,6 +454,8 @@ class InferenceService:
                     flush()
             flush()
             collect()
+            for name, fut in pending:
+                results[name] = fut.result()
         n = len(image_paths)
         if n:
             total = time.perf_counter() - t_start

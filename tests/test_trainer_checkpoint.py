@@ -134,8 +134,12 @@ def test_eval_losses_and_servable_save_model(tmp_path):
     ids = np.ones((1, 48), np.int32) * 5
     bbox = np.tile(np.array([1, 2, 30, 20], np.int32), (1, 48, 1))
     attn = np.ones((1, 48), np.int32)
-    fwd = svc._forward(svc.params, ids, bbox, attn, None)
-    assert "line_extraction" in jax.device_get(fwd)
+    out = jax.device_get(svc._forward(svc.params, ids, bbox, attn, None))
+    if svc._packed:  # compact outputs ride the packed transport
+        from peneo_tpu.pipeline.decode import unpack_spots
+
+        out = unpack_spots(*out)
+    assert "line_extraction" in out
 
 
 def test_export_artifact_roundtrip(tmp_path):

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""End-to-end serving benchmark: OCR JSON → InferenceService.run → kv JSON.
+
+Measures the real deployment path (reference: deploy/inference.py's
+avg-sec/sample log, deploy/inference.py:459-462) — preprocess (tokenize,
+sort, pad) in the thread pool, the jitted forward, device→host spot
+transfer, and the host chain-walk decode — on synthetic pages with the
+full-size LiLT geometry and the toy tokenizer (no hub access needed).
+
+Usage (TPU host):
+    python tools/bench_serving.py [--pages 128] [--batch 32] [--L 512]
+                                  [--workers 4] [--profile_host]
+"""
+
+import argparse
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_assets(root: str, pages: int, L: int, lines_per_page: int):
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.data.synthetic import ToyTokenizer, make_document, render_page
+    from peneo_tpu.models.peneo import PEneoModel
+    from peneo_tpu.pipeline.checkpoint import save_params_msgpack
+
+    tok = ToyTokenizer()
+    wdir = os.path.join(root, "weights")
+    os.makedirs(wdir, exist_ok=True)
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig(
+            vocab_size=tok.vocab_size,
+            max_position_embeddings=L + 8).to_dict(),
+        max_seq_len=L,
+    )
+    cfg.save_pretrained(wdir)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    ids = np.ones((1, L), np.int32)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids,
+                           np.zeros((1, L, 4), np.int32), ids,
+                           deterministic=True)["params"])
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: (rng.normal(0, 0.02, s.shape) * 1.0).astype(s.dtype),
+        params)
+    save_params_msgpack(params, os.path.join(wdir, "params.msgpack"))
+
+    img_dir = os.path.join(root, "images")
+    ocr_dir = os.path.join(root, "ocr")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ocr_dir, exist_ok=True)
+    prng = random.Random(7)
+    # render a handful of distinct pages and alias the rest (PIL open cost
+    # is still paid per page; content variety doesn't affect the math)
+    base = []
+    for i in range(min(pages, 16)):
+        doc = make_document(prng, f"b{i}.png", n_pairs=lines_per_page // 2,
+                            n_noise=2)
+        img = Image.fromarray(render_page(doc))
+        ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
+               for e in doc["entities"] for ln in e["lines"]]
+        base.append((img, ocr))
+    for i in range(pages):
+        img, ocr = base[i % len(base)]
+        img.save(os.path.join(img_dir, f"p{i:04d}.png"))
+        with open(os.path.join(ocr_dir, f"p{i:04d}.json"), "w") as f:
+            json.dump(ocr, f)
+    return wdir, img_dir, ocr_dir, tok
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", type=int, default=128)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--L", type=int, default=512)
+    p.add_argument("--lines_per_page", type=int, default=24)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--keep_dir", type=str, default=None,
+                   help="reuse/keep assets here instead of a temp dir")
+    p.add_argument("--profile_host", action="store_true",
+                   help="cProfile the serving loop and print top host costs")
+    args = p.parse_args(argv)
+
+    root = args.keep_dir or tempfile.mkdtemp(prefix="peneo_serve_bench_")
+    made = not (args.keep_dir and os.path.isdir(
+        os.path.join(root, "weights")))
+    if made:
+        wdir, img_dir, ocr_dir, _ = build_assets(
+            root, args.pages, args.L, args.lines_per_page)
+    else:
+        wdir = os.path.join(root, "weights")
+        img_dir = os.path.join(root, "images")
+        ocr_dir = os.path.join(root, "ocr")
+
+    from peneo_tpu.data.synthetic import ToyTokenizer
+    from peneo_tpu.pipeline.infer import InferenceService
+
+    svc = InferenceService(wdir, tokenizer=ToyTokenizer(),
+                           batch_size=args.batch, dtype="bfloat16",
+                           dp=args.dp, tp=args.tp, sp=args.sp)
+    # warm the jit outside the timed run
+    svc.run(os.path.join(img_dir, sorted(os.listdir(img_dir))[0]),
+            os.path.join(ocr_dir, sorted(os.listdir(ocr_dir))[0]))
+
+    prof = None
+    if args.profile_host:
+        import cProfile
+
+        prof = cProfile.Profile()
+        prof.enable()
+    t0 = time.perf_counter()
+    results = svc.run(img_dir, ocr_dir, workers=args.workers)
+    dt = time.perf_counter() - t0
+    if prof is not None:
+        prof.disable()
+        import pstats
+
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
+    n = len(results)
+    print(json.dumps({
+        "metric": "serving_pages_per_sec_e2e",
+        "value": round(n / dt, 2),
+        "unit": "pages/s",
+        "pages": n,
+        "batch": args.batch,
+        "L": args.L,
+        "workers": args.workers,
+    }))
+    if args.keep_dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
