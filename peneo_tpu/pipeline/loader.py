@@ -32,6 +32,7 @@ class DataFeed:
         num_workers: int = 4,
         prefetch: int = 2,
         device_put_fn: Optional[Callable] = None,
+        cache_items: Optional[bool] = None,
     ) -> None:
         self.dataset = dataset
         self.collator = collator
@@ -42,8 +43,27 @@ class DataFeed:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
+        # Cache parsed items across epochs: __getitem__ re-tokenizes and
+        # rebuilds label spots every epoch (the reference's DataLoader does
+        # too — torch re-parses per epoch). Deterministic unless box
+        # augmentation is on, so auto-enable exactly then. The parse is
+        # GIL-bound python; on small corpora it can otherwise bound the
+        # whole train step.
+        if cache_items is None:
+            cache_items = not bool(getattr(dataset, "apply_box_aug", False))
+        self._cache: Optional[dict] = {} if cache_items else None
         self._epoch = 0
         self._skip = 0
+
+    def _get_item(self, i):
+        i = int(i)
+        if self._cache is None:
+            return self.dataset[i]
+        v = self._cache.get(i)
+        if v is None:
+            v = self.dataset[i]
+            self._cache[i] = v
+        return v
 
     def set_state(self, epoch: int, batches_consumed: int) -> None:
         """Restore feed position (checkpoint resume): the next ``iter(self)``
@@ -86,7 +106,7 @@ class DataFeed:
                     for b in batches:
                         if stop.is_set():
                             return
-                        feats = list(pool.map(self.dataset.__getitem__, b))
+                        feats = list(pool.map(self._get_item, b))
                         batch = self.collator(feats)
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)

@@ -307,6 +307,10 @@ class PEneoTrainer:
             drop_last=False,
         )
         params = self.state.params if self.state is not None else self._params_init
+        if params is None:
+            raise ValueError(
+                "evaluate() has no parameters: run --do_train first or pass "
+                "--model_name_or_path pointing at a trained model dir")
         all_pred, all_gt, all_fname = [], [], []
         n_eval = 0
         # eval losses are averaged over the whole eval set (weighted by true

@@ -130,14 +130,23 @@ def setup(args, dataset_cls_name="rfund"):
             backbone_config = LiltConfig(
                 vocab_size=tokenizer.vocab_size, pad_token_id=0,
                 **preset).to_dict()
-        cfg = PEneoConfig(
-            backbone_name=args.backbone_name,
-            backbone_config=backbone_config,
-            peneo_category_weights=[1.0, 10.0, 10.0],
-            peneo_downstream_speedup_ratio=30.0,
-            max_seq_len=args.max_seq_len,
-            dtype=args.dtype,
-        )
+        if args.model_name_or_path:
+            # synthetic DATA with a saved model (e.g. eval a finished
+            # synthetic run): load config + params from the model dir —
+            # previously params stayed None and eval crashed in apply
+            cfg = PEneoConfig.from_pretrained(args.model_name_or_path)
+            cfg.max_seq_len = args.max_seq_len
+            cfg.dtype = args.dtype
+            params = _load_params(args.model_name_or_path, cfg)
+        else:
+            cfg = PEneoConfig(
+                backbone_name=args.backbone_name,
+                backbone_config=backbone_config,
+                peneo_category_weights=[1.0, 10.0, 10.0],
+                peneo_downstream_speedup_ratio=30.0,
+                max_seq_len=args.max_seq_len,
+                dtype=args.dtype,
+            )
     else:
         assert args.model_name_or_path, "--model_name_or_path required"
         cfg = PEneoConfig.from_pretrained(args.model_name_or_path)
