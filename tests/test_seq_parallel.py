@@ -165,3 +165,56 @@ def test_sp_train_step_matches_gspmd():
     # dropout is 0 in the tiny config → identical losses step for step
     np.testing.assert_allclose(hists["sp"], hists["gspmd"], rtol=1e-4)
     assert hists["sp"][-1] < hists["sp"][0]
+
+
+def test_sp_matches_at_l137_with_column_skip():
+    """L large enough that later row blocks skip whole 128-column panels
+    (col0 > 0 in seq_parallel's static triu slice) — untested at L=19."""
+    Ld = 137
+    sp = 2
+    blk = 8
+    lpad, bs = sp_row_layout(Ld, sp, blk)
+    assert ((lpad // sp - bs) * sp // 128) * 128 > 0, (
+        "test must exercise a non-zero column skip")
+
+    rng = np.random.default_rng(3)
+    B, H = 2, 16
+    a = jnp.asarray(rng.normal(size=(B, Ld, H)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, Ld, H)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.3, (5, H, H)), jnp.float32)
+    b1 = jnp.zeros((5, H), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.3, (5, H, 4)), jnp.float32)
+    b2 = jnp.zeros((5, 4), jnp.float32).at[:, 3].set(-1e9)  # pad class
+    weights = (w1, b1, w2, b2)
+
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=sp)
+    k = 4096  # > triu positions with nonzero tags kept bounded by k
+    got = sp_pair_spots(a, b, weights, mesh, k, valid_len=Ld,
+                        block_size=blk)
+
+    # single-device reference: same pure math over the full grid
+    pair = jax.nn.silu(a[:, :, None, :] + b[:, None, :, :])
+    rows = np.arange(Ld)[:, None]
+    cols = np.arange(Ld)[None, :]
+    triu = rows <= cols
+    for hi, name in enumerate(HEAD_NAMES):
+        x = jax.nn.silu(pair @ w1[hi] + b1[hi])
+        logits = x @ w2[hi] + b2[hi]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        tags = np.asarray(jnp.argmax(probs, axis=-1))
+        scores = np.asarray(jnp.max(probs, axis=-1))
+        valid = triu[None] & (tags != 0)
+        for bi in range(B):
+            ref = {(int(i) * Ld + int(j)): (int(tags[bi, i, j]),
+                                            float(scores[bi, i, j]))
+                   for i, j in zip(*np.nonzero(valid[bi]))}
+            idx = np.asarray(got[name]["spot_idx"][bi])
+            tag = np.asarray(got[name]["spot_tag"][bi])
+            sc = np.asarray(got[name]["spot_score"][bi])
+            keep = sc > -0.5
+            assert int(got[name]["spot_count"][bi]) == len(ref)
+            assert len(idx[keep]) == min(len(ref), k)
+            for ii, tt, ss in zip(idx[keep], tag[keep], sc[keep]):
+                rt, rs = ref[int(ii)]
+                assert rt == int(tt)
+                np.testing.assert_allclose(rs, float(ss), rtol=1e-5)
