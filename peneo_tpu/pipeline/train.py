@@ -263,6 +263,49 @@ def make_sp_train_step(model: PEneoModel, optimizer, mesh,
     return jax.jit(train_step, donate_argnums=(0,)) if _jit else train_step
 
 
+def make_sp_eval_step(model: PEneoModel, mesh, with_loss: bool = False,
+                      sp_block_size: int = 128):
+    """Eval step with the pair grid row-sharded over the sp mesh axis:
+    backbone under dp/tp GSPMD, then sp_pair_spots (and, with ``with_loss``,
+    sp_pair_losses) from the SAME pair inputs — the sp twin of
+    make_eval_step. Outputs are the per-head compact-spot dicts the host
+    decoder consumes (identical to the module path; tests/test_seq_parallel)."""
+    from ..models.decoder import HEAD_NAMES
+    from ..ops.pair_head import stack_head_weights
+    from ..parallel.seq_parallel import sp_pair_losses, sp_pair_spots
+
+    cfg = model.cfg
+    assert cfg.max_spots_per_head > 0, \
+        "sp eval requires compact spot extraction"
+    ratios = cfg.peneo_loss_ratio or [1.0] * 5
+
+    def eval_step(params, batch: Dict[str, Any]):
+        pair_in = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["bbox"],
+            batch.get("attention_mask"),
+            image=batch.get("image"),
+            deterministic=True,
+            return_pair_inputs=True,
+        )
+        weights = stack_head_weights(
+            params["peneo_decoder"], HEAD_NAMES, model.dtype)
+        out = sp_pair_spots(
+            pair_in["a"], pair_in["b"], weights, mesh,
+            cfg.max_spots_per_head, valid_len=int(pair_in["valid_len"]),
+            block_size=sp_block_size, topk_method=cfg.spot_topk)
+        if not with_loss:
+            return out
+        losses = sp_pair_losses(
+            pair_in["a"], pair_in["b"], weights, batch["labels"],
+            cfg.peneo_category_weights, ratios, mesh,
+            valid_len=int(pair_in["valid_len"]), block_size=sp_block_size)
+        return out, losses
+
+    return eval_step
+
+
 def make_multi_train_step(model, optimizer, steps_per_call: int,
                           base_step=None):
     """K train steps per dispatch via lax.scan over a stacked batch

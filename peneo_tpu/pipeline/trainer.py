@@ -131,7 +131,11 @@ class PEneoTrainer:
             self._train_step = jax.jit(base_step, donate_argnums=(0,))
         else:
             self._train_step = T.jit_train_step(self.model, self.optimizer)
-        self._eval_step = jax.jit(T.make_eval_step(self.model))
+        if args.sp > 1:
+            self._eval_step = jax.jit(
+                T.make_sp_eval_step(self.model, self.mesh))
+        else:
+            self._eval_step = jax.jit(T.make_eval_step(self.model))
         # losses + decode outputs from one forward (also_decode); compiled
         # lazily on first labeled eval
         self._eval_step_loss = None
@@ -346,8 +350,14 @@ class PEneoTrainer:
                 dev_batch = batch_to_device(batch, self.batch_sharding)
             if batch.labels:
                 if self._eval_step_loss is None:
+                    # sp: spots + losses are two shard_map passes over the
+                    # grid (vs the module path's single also_decode pass) —
+                    # fine for eval cadence, each pass is 1/sp per chip
                     self._eval_step_loss = jax.jit(
-                        T.make_eval_step(self.model, with_loss=True))
+                        T.make_sp_eval_step(self.model, self.mesh,
+                                            with_loss=True)
+                        if args.sp > 1
+                        else T.make_eval_step(self.model, with_loss=True))
                 out, losses = self._eval_step_loss(params, dev_batch)
                 losses = jax.device_get(losses)
                 for kk, v in losses.items():

@@ -218,3 +218,38 @@ def test_sp_matches_at_l137_with_column_skip():
                 rt, rs = ref[int(ii)]
                 assert rt == int(tt)
                 np.testing.assert_allclose(rs, float(ss), rtol=1e-5)
+
+
+def test_sp_eval_step_matches_module_eval():
+    """make_sp_eval_step (trainer --sp eval path) must reproduce the module
+    also_decode eval step: same losses, same decoded spot sets."""
+    cfg = _cfg(max_spots_per_head=256, spot_topk="exact")
+    batch = _batch()
+    model, params = _init(cfg, batch)
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+
+    ref_out, ref_losses = jax.jit(T.make_eval_step(model, with_loss=True))(
+        params, batch)
+    sp_out, sp_losses = jax.jit(
+        T.make_sp_eval_step(model, mesh, with_loss=True))(params, batch)
+
+    for name in list(HEAD_NAMES) + ["total"]:
+        np.testing.assert_allclose(float(sp_losses[name]),
+                                   float(ref_losses[name]), rtol=1e-5)
+    for name in HEAD_NAMES:
+        np.testing.assert_array_equal(
+            np.asarray(ref_out[name]["spot_count"]),
+            np.asarray(sp_out[name]["spot_count"]))
+        for bi in range(B):
+            def spots(d):
+                idx = np.asarray(d["spot_idx"][bi])
+                tag = np.asarray(d["spot_tag"][bi])
+                sc = np.asarray(d["spot_score"][bi])
+                keep = sc > -0.5
+                order = np.argsort(idx[keep])
+                return idx[keep][order], tag[keep][order]
+
+            ri, rt = spots(ref_out[name])
+            gi, gt = spots(sp_out[name])
+            np.testing.assert_array_equal(ri, gi)
+            np.testing.assert_array_equal(rt, gt)
