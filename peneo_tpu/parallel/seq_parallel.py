@@ -72,6 +72,17 @@ def _pad_rows(x: jnp.ndarray, lpad: int) -> jnp.ndarray:
                    [(0, 0)] * (x.ndim - 2))
 
 
+def _sharded_layout(a, b, sp: int, block_size: int):
+    """Shared row-layout prologue for the spots and losses paths — these MUST
+    stay bit-identical (inference spots vs training labels use the same
+    strided perm / padding / local block size)."""
+    lpad, bs = sp_row_layout(a.shape[1], sp, block_size)
+    perm = _strided_perm(lpad, sp)
+    a_rows = jnp.take(_pad_rows(a, lpad), perm, axis=1)
+    b_cols = _pad_rows(b, lpad)
+    return a_rows, b_cols, perm, lpad, lpad // sp, bs
+
+
 def _head_block(pair, weights, hi, dropout_rng=None, dropout_p=0.0):
     """One head's logits for a pair-feature block: silu(pair@W1+b1)@W2+b2.
 
@@ -120,11 +131,7 @@ def sp_pair_spots(
     B, Ld, H = a.shape
     valid = Ld if valid_len is None else valid_len
     sp = mesh.shape[axis]
-    lpad, bs = sp_row_layout(Ld, sp, block_size)
-    perm = _strided_perm(lpad, sp)
-    a_rows = jnp.take(_pad_rows(a, lpad), perm, axis=1)
-    b_cols = _pad_rows(b, lpad)
-    ls = lpad // sp
+    a_rows, b_cols, _, lpad, ls, bs = _sharded_layout(a, b, sp, block_size)
     kk = min(k, ls * lpad)  # per-shard candidates; merged k below
 
     def shard_fn(a_loc, b_all, weights):
@@ -234,11 +241,8 @@ def sp_pair_losses(
     B, Ld, H = a.shape
     valid = Ld if valid_len is None else valid_len
     sp = mesh.shape[axis]
-    lpad, bs = sp_row_layout(Ld, sp, block_size)
-    perm = _strided_perm(lpad, sp)
-    a_rows = jnp.take(_pad_rows(a, lpad), perm, axis=1)
-    b_cols = _pad_rows(b, lpad)
-    ls = lpad // sp
+    a_rows, b_cols, perm, lpad, ls, bs = _sharded_layout(a, b, sp,
+                                                         block_size)
 
     dense = {}
     for name in HEAD_NAMES:
@@ -269,25 +273,48 @@ def sp_pair_losses(
         for r0 in range(0, ls, bs):
             col0 = (r0 * sp // 128) * 128
             ncols = lpad - col0
-            pair = jax.nn.silu(a_loc[:, r0:r0 + bs, None, :]
-                               + b_all[:, None, col0:, :])
-            rows, cols = _block_coords(r0, bs, col0, ncols, sp)
-            rows = rows + s
-            ok = ((rows <= cols) & (rows < valid) & (cols < valid))[None]
+
+            def block_sums(a_blk, b_slice, wts, tgts, s_idx, rng0,
+                           r0=r0, col0=col0, ncols=ncols):
+                """One block's weighted-CE sums, all 5 heads → ((5,), (5,)).
+
+                Wrapped in jax.checkpoint below so backward recomputes the
+                (B, bs, ncols, H) pair features and per-head activations
+                instead of saving them — mirroring the module path's
+                nn.remat (models/decoder.py): without it, sp *training*
+                residuals are O(L²·H/sp) per chip and the long-context runs
+                this path exists for would OOM."""
+                pair = jax.nn.silu(a_blk[:, :, None, :]
+                                   + b_slice[:, None, :, :])
+                rows, cols = _block_coords(r0, bs, col0, ncols, sp)
+                rows = rows + s_idx
+                ok = ((rows <= cols) & (rows < valid) & (cols < valid))
+                ok_flat = ok.reshape(1, bs * ncols).astype(jnp.float32)
+                ns, ds = [], []
+                for hi, name in enumerate(HEAD_NAMES):
+                    rng = None
+                    if use_dropout:
+                        rng = jax.random.fold_in(
+                            jax.random.fold_in(rng0, r0 * N_HEADS + hi),
+                            s_idx)
+                    logits = _head_block(pair.reshape(B, bs * ncols, H),
+                                         wts, hi, rng, dropout_p)
+                    tgt = tgts[name].reshape(B, bs * ncols)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    ce = -jnp.take_along_axis(
+                        logp, tgt[..., None], axis=-1)[..., 0]
+                    w = weights_by_head[name][tgt] * ok_flat
+                    ns.append((ce * w).sum())
+                    ds.append(w.sum())
+                return jnp.stack(ns), jnp.stack(ds)
+
+            n_vec, d_vec = jax.checkpoint(block_sums)(
+                a_loc[:, r0:r0 + bs], b_all[:, col0:], weights,
+                {name: lbl[name][:, r0:r0 + bs, col0:]
+                 for name in HEAD_NAMES}, s, base_rng)
             for hi, name in enumerate(HEAD_NAMES):
-                rng = None
-                if use_dropout:
-                    rng = jax.random.fold_in(
-                        jax.random.fold_in(base_rng, r0 * N_HEADS + hi), s)
-                logits = _head_block(pair.reshape(B, bs * ncols, H), weights,
-                                     hi, rng, dropout_p)
-                tgt = lbl[name][:, r0:r0 + bs, col0:].reshape(B, bs * ncols)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-                w = weights_by_head[name][tgt] * ok.reshape(
-                    1, bs * ncols).astype(jnp.float32)
-                nums[name] = nums[name] + (ce * w).sum()
-                dens[name] = dens[name] + w.sum()
+                nums[name] = nums[name] + n_vec[hi]
+                dens[name] = dens[name] + d_vec[hi]
         losses = {
             name: jax.lax.psum(nums[name], axis)
             / jnp.maximum(jax.lax.psum(dens[name], axis), 1e-12)

@@ -36,20 +36,31 @@ _DEPLOY_REPLACEMENTS = (
 )
 
 
-# Single-char replacements run as ONE C-level str.translate scan instead of
-# 18 sequential str.replace passes (a measured serving-preprocess hotspot).
-# Equivalent to the sequential order because no destination string contains
-# another rule's source char. "T\u03bfpic" (the one multi-char source) keeps
-# its own guarded replace.
-_DEPLOY_TABLE = {ord(s): d for s, d in _DEPLOY_REPLACEMENTS if len(s) == 1}
-_DEPLOY_MULTI = [(s, d) for s, d in _DEPLOY_REPLACEMENTS if len(s) > 1]
+# Consecutive single-char replacements merge into C-level str.translate
+# scans (a measured serving-preprocess hotspot vs 18 sequential str.replace
+# passes). Phase ORDER preserves the sequential semantics around the one
+# multi-char rule: the checkbox/PUA deletions run BEFORE "T\u03bfpic" \u2192 "Topic"
+# (deleting an embedded glyph can create a new match for it, e.g.
+# "T\u2610\u03bfpic"), and within a merged phase simultaneous == sequential because
+# no destination contains a later rule's source char.
+_DEPLOY_PHASES: list = []
+for _s, _d in _DEPLOY_REPLACEMENTS:
+    if len(_s) == 1:
+        if _DEPLOY_PHASES and isinstance(_DEPLOY_PHASES[-1], dict):
+            _DEPLOY_PHASES[-1][ord(_s)] = _d
+        else:
+            _DEPLOY_PHASES.append({ord(_s): _d})
+    else:
+        _DEPLOY_PHASES.append((_s, _d))
 
 
 def deploy_text_cleanup(text: str) -> str:
-    for src, dst in _DEPLOY_MULTI:
-        if src in text:
-            text = text.replace(src, dst)
-    return string_f2h(text.translate(_DEPLOY_TABLE))
+    for phase in _DEPLOY_PHASES:
+        if isinstance(phase, dict):
+            text = text.translate(phase)
+        elif phase[0] in text:
+            text = text.replace(phase[0], phase[1])
+    return string_f2h(text)
 
 
 def tesseract_ocr(image_path: str) -> Tuple[List[str], List[List[float]]]:
