@@ -72,7 +72,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", action="store_true",
                    help="generate a synthetic RFUND corpus + toy tokenizer")
     p.add_argument("--synthetic_model", type=str, default="small",
-                   choices=["tiny", "small"],
+                   choices=["tiny", "small", "base"],
                    help="backbone size for --synthetic_data runs")
     return p
 
@@ -82,6 +82,10 @@ SYNTHETIC_MODEL_PRESETS = {
                  intermediate_size=96),
     "small": dict(hidden_size=240, num_hidden_layers=4, num_attention_heads=4,
                   intermediate_size=480),
+    # full lilt-infoxlm-base geometry (sans the 250k real vocab) — for
+    # training-throughput measurement on synthetic data
+    "base": dict(hidden_size=768, num_hidden_layers=12,
+                 num_attention_heads=12, intermediate_size=3072),
 }
 
 
