@@ -34,7 +34,12 @@ class TrainState(NamedTuple):
 
 def linear_schedule(lr: float, total_steps: int, warmup_ratio: float = 0.1,
                     warmup_steps: Optional[int] = None):
-    warmup = warmup_steps if warmup_steps is not None else int(
+    # HF rounds warmup steps UP (TrainingArguments.get_warmup_steps:
+    # math.ceil(num_training_steps * warmup_ratio)); match it exactly —
+    # e.g. 9 steps × ratio 0.3 → HF warms up 3 steps where int() gives 2.
+    import math
+
+    warmup = warmup_steps if warmup_steps is not None else math.ceil(
         total_steps * warmup_ratio)
     if warmup <= 0:
         return optax.linear_schedule(lr, 0.0, max(total_steps, 1))
