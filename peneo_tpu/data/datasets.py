@@ -102,8 +102,15 @@ def parse_document(
     text_cleanup: Optional[Callable[[str], str]],
     int_cast_bbox: bool = False,
     apply_box_aug: bool = False,
+    box_aug_quirk: bool = False,
 ) -> ParsedDoc:
-    """Shared RFUND/SIBR document → features pipeline."""
+    """Shared RFUND/SIBR document → features pipeline.
+
+    ``box_aug_quirk=True`` reproduces the reference's always-shift-down
+    vertical jitter (data/data_utils.py:155-160) so an aug-enabled run draws
+    byte-identical training boxes — use it when fine-tuning converted
+    reference checkpoints or comparing against reference training runs; the
+    default honors the drawn direction (the intended behavior)."""
     img = document_info["img"]
     image_w, image_h = img["width"], img["height"]
 
@@ -135,7 +142,8 @@ def parse_document(
             if int_cast_bbox:
                 l, t, r, b = int(l), int(t), int(r), int(b)
             if apply_box_aug:
-                l, t, r, b = box_augmentation((l, t, r, b), image_w, image_h)
+                l, t, r, b = box_augmentation((l, t, r, b), image_w, image_h,
+                                              reference_quirk=box_aug_quirk)
                 # repair degenerate boxes after jitter (rfund.py:162-171)
                 if l >= r:
                     l, r = (0, 1) if r == 0 else (r - 1, r)
@@ -260,6 +268,7 @@ class RFUNDDataset:
         add_cls_token: bool = False,
         add_sep_token: bool = False,
         apply_box_aug: bool = False,
+        box_aug_quirk: bool = False,
         **_: object,
     ) -> None:
         assert language in RFUND_LANGS, f"unsupported language {language}"
@@ -271,11 +280,18 @@ class RFUNDDataset:
         self.add_cls_token = add_cls_token
         self.add_sep_token = add_sep_token
         self.apply_box_aug = apply_box_aug
+        self.box_aug_quirk = box_aug_quirk
         self.image_root = os.path.join(data_root, "images", language)
         fsplit = "val" if split in ("dev", "test") else split
         with open(os.path.join(data_root, f"{language}.{fsplit}.json"),
                   encoding="utf-8") as f:
             self.annotation = json.load(f)["documents"]
+
+    @property
+    def deterministic(self) -> bool:
+        """True when repeated __getitem__ returns identical items — the
+        loader's cross-epoch item cache keys on this (pipeline/loader.py)."""
+        return not self.apply_box_aug
 
     def __len__(self) -> int:
         return len(self.annotation)
@@ -293,6 +309,7 @@ class RFUNDDataset:
             continuation_space=self.language not in ("zh", "ja"),
             text_cleanup=rfund_text_cleanup,
             apply_box_aug=self.apply_box_aug,
+            box_aug_quirk=self.box_aug_quirk,
         )
         return doc.to_feature()
 
@@ -312,6 +329,7 @@ class SIBRDataset:
         add_cls_token: bool = False,
         add_sep_token: bool = False,
         apply_box_aug: bool = False,
+        box_aug_quirk: bool = False,
         **_: object,
     ) -> None:
         assert split in self.SPLITS, f"unsupported split {split}"
@@ -321,10 +339,16 @@ class SIBRDataset:
         self.add_cls_token = add_cls_token
         self.add_sep_token = add_sep_token
         self.apply_box_aug = apply_box_aug
+        self.box_aug_quirk = box_aug_quirk
         self.image_root = os.path.join(data_root, "images")
         self.annotation_root = os.path.join(data_root, "converted_label")
         with open(os.path.join(data_root, f"{split}.txt")) as f:
             self.fnames = [os.path.basename(x.strip()) for x in f.readlines()]
+
+    @property
+    def deterministic(self) -> bool:
+        """See RFUNDDataset.deterministic."""
+        return not self.apply_box_aug
 
     def __len__(self) -> int:
         return len(self.fnames)
@@ -345,5 +369,6 @@ class SIBRDataset:
             text_cleanup=None,
             int_cast_bbox=True,
             apply_box_aug=self.apply_box_aug,
+            box_aug_quirk=self.box_aug_quirk,
         )
         return doc.to_feature()

@@ -143,6 +143,26 @@ def ohem_stream_update(state, logits, targets, class_weights, mask):
     return new
 
 
+def ohem_stream_merge(state, axis: str):
+    """Merge per-shard streaming OHEM states across a mapped mesh axis
+    (inside shard_map): counts and keep-all sums are psum'd; top-k ``best``
+    buffers are all_gather'd and re-top-k'd. The merged state is identical on
+    every shard and equals a single-device stream over the union of the
+    shards' elements, so ``ohem_stream_final`` afterwards reproduces the
+    non-sp OHEM loss exactly (sums of the same top-k values)."""
+    merged = {}
+    for key in ("pos", "neg"):
+        g = state[key]
+        cnt = jax.lax.psum(g["count"], axis)
+        if "sum" in g:
+            merged[key] = {"sum": jax.lax.psum(g["sum"], axis), "count": cnt}
+        else:
+            k = g["best"].shape[0]
+            allv = jax.lax.all_gather(g["best"], axis).reshape(-1)
+            merged[key] = {"best": jax.lax.top_k(allv, k)[0], "count": cnt}
+    return merged
+
+
 def ohem_stream_final(state) -> jnp.ndarray:
     """Running state → OHEM loss (mean over kept elements, matching
     ohem_cross_entropy / reference custom_loss.py:234-288 intended

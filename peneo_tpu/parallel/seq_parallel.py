@@ -41,6 +41,7 @@ from ..ops.pair_head import N_HEADS
 __all__ = [
     "sp_pair_spots",
     "sp_pair_losses",
+    "sp_pair_eval",
     "sp_row_layout",
 ]
 
@@ -49,8 +50,10 @@ def sp_row_layout(valid_len: int, sp: int, block_size: int) -> Tuple[int, int]:
     """(padded row count Lpad, local block size) for an sp-sharded grid.
 
     Lpad is the smallest multiple of ``8·sp`` covering ``valid_len`` (8 =
-    TPU sublane granularity); the local slab Ls = Lpad/sp is looped in the
-    largest power-of-two block ≤ ``block_size`` that divides it.
+    TPU sublane granularity); the local slab Ls = Lpad/sp is looped in block
+    size ``min(block_size, Ls)`` halved until it divides Ls (always a
+    divisor of Ls, not necessarily a power of two — e.g. Ls=24,
+    block_size=128 → bs=24).
     """
     ls = -(-valid_len // sp)
     ls = ((ls + 7) // 8) * 8
@@ -109,6 +112,68 @@ def _block_coords(r0: int, bs: int, col0: int, ncols: int, sp: int):
     return rows, cols
 
 
+def _spot_acc_init(B: int):
+    """Per-shard spot-candidate accumulator (python lists while tracing)."""
+    return {
+        "tags": [[] for _ in range(N_HEADS)],
+        "scores": [[] for _ in range(N_HEADS)],
+        "idx": [[] for _ in range(N_HEADS)],
+        "count": jnp.zeros((B, N_HEADS), jnp.int32),
+    }
+
+
+def _spot_block_update(acc, hi, logits, ok, flat, B, bs, ncols):
+    """Fold one (head, block)'s logits into the spot accumulator — the sp
+    half of models/decoder.compact_spots (argmax tag, max-prob score)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    t = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    sc = jnp.max(probs, axis=-1)
+    m = (ok[None] & (t.reshape(B, bs, ncols) != 0)).reshape(B, bs * ncols)
+    acc["tags"][hi].append(jnp.where(m, t, 0))
+    acc["scores"][hi].append(jnp.where(m, sc, -1.0))
+    acc["idx"][hi].append(
+        jnp.broadcast_to(flat.reshape(1, -1), (B, bs * ncols)))
+    acc["count"] = acc["count"].at[:, hi].add(m.sum(axis=1).astype(jnp.int32))
+
+
+def _finalize_spots(acc, k, kk, topk_method, axis, Ld, B):
+    """Per-shard top-k then cross-shard merge → replicated compact spots."""
+    out = {}
+    for hi, name in enumerate(HEAD_NAMES):
+        sc = jnp.concatenate(acc["scores"][hi], axis=1)
+        tg = jnp.concatenate(acc["tags"][hi], axis=1)
+        ix = jnp.concatenate(acc["idx"][hi], axis=1)
+        kloc = min(kk, sc.shape[1])
+        if topk_method == "approx" and jax.default_backend() == "tpu":
+            top_sc, top_pos = jax.lax.approx_max_k(
+                sc, kloc, recall_target=0.99)
+        else:
+            top_sc, top_pos = jax.lax.top_k(sc, kloc)
+        top_tg = jnp.take_along_axis(tg, top_pos, axis=1)
+        top_ix = jnp.take_along_axis(ix, top_pos, axis=1)
+        # merge shards: gather each shard's k candidates, then re-select with
+        # a (score desc, flat idx asc) lexicographic order — the same tie
+        # order as lax.top_k over the single-device row-major flat array, so
+        # sp and single-device pick identical spot sets even when score ties
+        # straddle the k boundary. (The per-shard kloc cut above can still
+        # drop tied candidates in the overflow regime spot_count > k.)
+        g_sc = jax.lax.all_gather(top_sc, axis, axis=1).reshape(B, -1)
+        g_tg = jax.lax.all_gather(top_tg, axis, axis=1).reshape(B, -1)
+        g_ix = jax.lax.all_gather(top_ix, axis, axis=1).reshape(B, -1)
+        order = jnp.lexsort((g_ix, -g_sc), axis=-1)
+        m_pos = order[:, :min(k, order.shape[1])]
+        out[name] = {
+            "spot_idx": jnp.take_along_axis(
+                g_ix, m_pos, axis=1).astype(jnp.int32),
+            "spot_tag": jnp.take_along_axis(
+                g_tg, m_pos, axis=1).astype(jnp.int8),
+            "spot_score": jnp.take_along_axis(g_sc, m_pos, axis=1),
+            "spot_count": jax.lax.psum(acc["count"][:, hi], axis),
+            "seq_len": jnp.full((B,), Ld, jnp.int32),
+        }
+    return out
+
+
 def sp_pair_spots(
     a: jnp.ndarray,             # (B, Ld, H) combine-A rows (incl. bias)
     b: jnp.ndarray,             # (B, Ld, H) combine-B cols
@@ -136,12 +201,7 @@ def sp_pair_spots(
 
     def shard_fn(a_loc, b_all, weights):
         s = jax.lax.axis_index(axis)
-        tags_parts, score_parts, idx_parts = [], [], []
-        for hi in range(N_HEADS):
-            tags_parts.append([])
-            score_parts.append([])
-            idx_parts.append([])
-        count = jnp.zeros((B, N_HEADS), jnp.int32)
+        acc = _spot_acc_init(B)
         for r0 in range(0, ls, bs):
             col0 = (r0 * sp // 128) * 128  # static triu column skip
             ncols = lpad - col0
@@ -151,50 +211,11 @@ def sp_pair_spots(
             rows = rows + s
             ok = (rows <= cols) & (rows < valid) & (cols < valid)
             flat = rows * Ld + cols  # global flat index, true-Ld layout
+            pair_flat = pair.reshape(B, bs * ncols, H)
             for hi in range(N_HEADS):
-                logits = _head_block(pair.reshape(B, bs * ncols, H),
-                                     weights, hi)
-                probs = jax.nn.softmax(logits, axis=-1)
-                t = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-                sc = jnp.max(probs, axis=-1)
-                m = (ok[None] & (t.reshape(B, bs, ncols) != 0)).reshape(
-                    B, bs * ncols)
-                tags_parts[hi].append(jnp.where(m, t, 0))
-                score_parts[hi].append(jnp.where(m, sc, -1.0))
-                idx_parts[hi].append(
-                    jnp.broadcast_to(flat.reshape(1, -1), (B, bs * ncols)))
-                count = count.at[:, hi].add(m.sum(axis=1).astype(jnp.int32))
-
-        out = {}
-        for hi, name in enumerate(HEAD_NAMES):
-            sc = jnp.concatenate(score_parts[hi], axis=1)
-            tg = jnp.concatenate(tags_parts[hi], axis=1)
-            ix = jnp.concatenate(idx_parts[hi], axis=1)
-            kloc = min(kk, sc.shape[1])
-            if topk_method == "approx" and jax.default_backend() == "tpu":
-                top_sc, top_pos = jax.lax.approx_max_k(
-                    sc, kloc, recall_target=0.99)
-            else:
-                top_sc, top_pos = jax.lax.top_k(sc, kloc)
-            top_tg = jnp.take_along_axis(tg, top_pos, axis=1)
-            top_ix = jnp.take_along_axis(ix, top_pos, axis=1)
-            # merge shards: gather each shard's k candidates, re-top-k.
-            # ties re-break by gathered order (shard-major); real score ties
-            # at the k boundary only occur for k ≪ true spot count.
-            g_sc = jax.lax.all_gather(top_sc, axis, axis=1).reshape(B, -1)
-            g_tg = jax.lax.all_gather(top_tg, axis, axis=1).reshape(B, -1)
-            g_ix = jax.lax.all_gather(top_ix, axis, axis=1).reshape(B, -1)
-            m_sc, m_pos = jax.lax.top_k(g_sc, min(k, g_sc.shape[1]))
-            out[name] = {
-                "spot_idx": jnp.take_along_axis(
-                    g_ix, m_pos, axis=1).astype(jnp.int32),
-                "spot_tag": jnp.take_along_axis(
-                    g_tg, m_pos, axis=1).astype(jnp.int8),
-                "spot_score": m_sc,
-                "spot_count": jax.lax.psum(count[:, hi], axis),
-                "seq_len": jnp.full((B,), Ld, jnp.int32),
-            }
-        return out
+                logits = _head_block(pair_flat, weights, hi)
+                _spot_block_update(acc, hi, logits, ok, flat, B, bs, ncols)
+        return _finalize_spots(acc, k, kk, topk_method, axis, Ld, B)
 
     specs_in = (P(None, axis, None), P(), P())
     spec_out = jax.tree_util.tree_map(lambda _: P(), {
@@ -225,25 +246,128 @@ def sp_pair_losses(
     axis: str = "sp",
     dropout_rng: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
+    num_hard_positive: int = -1,
+    num_hard_negative: int = -1,
 ) -> Dict[str, jnp.ndarray]:
-    """Row-sharded 5-head weighted-CE losses (reference semantics,
+    """Row-sharded 5-head weighted-CE/OHEM losses (reference semantics,
     model/peneo_decoder.py:375-428), sp-parallel.
 
     Numerically identical to the in-module blockwise path (fp32 CE over the
     same masked positions; the C_PAD -inf bias leaves log_softmax over real
     classes unchanged). Classifier-internal dropout draws from
     ``dropout_rng`` folded per (shard, block, head) — a different stream
-    than the flax module path, same distribution. OHEM is not supported on
-    the sp path (streaming OHEM state is per-shard; configs shipping OHEM
-    train single-shard)."""
-    from ..models.decoder import dense_labels_from_spots
-
+    than the flax module path, same distribution. OHEM
+    (reference model/custom_loss.py:234-288 intended semantics) streams a
+    per-shard O(k) top-k state over the local row blocks, then merges it
+    across shards (psum counts, all_gather + re-top-k of the best buffers —
+    ops/losses.ohem_stream_merge) — identical to the single-device
+    streaming OHEM over the whole grid."""
     B, Ld, H = a.shape
     valid = Ld if valid_len is None else valid_len
     sp = mesh.shape[axis]
     a_rows, b_cols, perm, lpad, ls, bs = _sharded_layout(a, b, sp,
                                                          block_size)
+    dense = _dense_sharded_labels(labels, perm, lpad, mesh, axis)
+    weights_by_head = _weights_by_head(class_weights)
+    use_ohem = num_hard_positive != -1 or num_hard_negative != -1
 
+    use_dropout = dropout_rng is not None and dropout_p > 0.0
+    rng_in = dropout_rng if use_dropout else jax.random.PRNGKey(0)
+
+    def shard_fn(a_loc, b_all, weights, lbl, base_rng):
+        from ..ops.losses import ohem_stream_init
+
+        s = jax.lax.axis_index(axis)
+        if use_ohem:
+            acc = {name: ohem_stream_init(num_hard_positive,
+                                          num_hard_negative)
+                   for name in HEAD_NAMES}
+        else:
+            acc = ({name: 0.0 for name in HEAD_NAMES},
+                   {name: 0.0 for name in HEAD_NAMES})
+        for r0 in range(0, ls, bs):
+            col0 = (r0 * sp // 128) * 128
+            ncols = lpad - col0
+
+            def block_fold(carry, a_blk, b_slice, wts, tgts, s_idx, rng0,
+                           r0=r0, col0=col0, ncols=ncols):
+                """Fold one block's loss contribution into the carry —
+                weighted-CE (numerator, denominator) sums, or the streaming
+                OHEM top-k state.
+
+                Wrapped in jax.checkpoint below so backward recomputes the
+                (B, bs, ncols, H) pair features and per-head activations
+                instead of saving them — mirroring the module path's
+                nn.remat (models/decoder.py): without it, sp *training*
+                residuals are O(L²·H/sp) per chip and the long-context runs
+                this path exists for would OOM."""
+                from ..ops.losses import ohem_stream_update
+
+                pair = jax.nn.silu(a_blk[:, :, None, :]
+                                   + b_slice[:, None, :, :])
+                rows, cols = _block_coords(r0, bs, col0, ncols, sp)
+                rows = rows + s_idx
+                ok = ((rows <= cols) & (rows < valid) & (cols < valid))
+                ok_flat = ok.reshape(1, bs * ncols).astype(jnp.float32)
+                new_nums, new_dens, new_states = {}, {}, {}
+                for hi, name in enumerate(HEAD_NAMES):
+                    rng = None
+                    if use_dropout:
+                        rng = jax.random.fold_in(
+                            jax.random.fold_in(rng0, r0 * N_HEADS + hi),
+                            s_idx)
+                    logits = _head_block(pair.reshape(B, bs * ncols, H),
+                                         wts, hi, rng, dropout_p)
+                    tgt = tgts[name].reshape(B, bs * ncols)
+                    if use_ohem:
+                        new_states[name] = ohem_stream_update(
+                            carry[name], logits, tgt, weights_by_head[name],
+                            jnp.broadcast_to(ok.reshape(1, bs * ncols),
+                                             tgt.shape))
+                    else:
+                        logp = jax.nn.log_softmax(logits, axis=-1)
+                        ce = -jnp.take_along_axis(
+                            logp, tgt[..., None], axis=-1)[..., 0]
+                        w = weights_by_head[name][tgt] * ok_flat
+                        new_nums[name] = carry[0][name] + (ce * w).sum()
+                        new_dens[name] = carry[1][name] + w.sum()
+                if use_ohem:
+                    return new_states
+                return new_nums, new_dens
+
+            acc = jax.checkpoint(block_fold)(
+                acc, a_loc[:, r0:r0 + bs], b_all[:, col0:], weights,
+                {name: lbl[name][:, r0:r0 + bs, col0:]
+                 for name in HEAD_NAMES}, s, base_rng)
+        losses = _finalize_losses(acc, use_ohem, loss_ratio, axis)
+        return losses
+
+    spec_out = {name: P() for name in HEAD_NAMES}
+    spec_out["total"] = P()
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(),
+                  {name: P(None, axis, None) for name in HEAD_NAMES}, P()),
+        out_specs=spec_out, axis_names={axis},
+        # the OHEM merge ends in an all_gather + top_k the varying-axes
+        # checker can't prove replicated (same situation as sp_pair_spots);
+        # results ARE replicated. jit wrap required for the same jax quirk.
+        check_vma=not use_ohem)
+    if use_ohem:
+        return jax.jit(fn)(a_rows, b_cols, head_weights, dense, rng_in)
+    return fn(a_rows, b_cols, head_weights, dense, rng_in)
+
+
+def _dense_sharded_labels(labels, perm, lpad, mesh, axis):
+    """Dense (B, lpad, lpad) int32 label grids, rows permuted to the strided
+    sp layout and constrained to row-sharding — without the constraint GSPMD
+    can materialize the permuted grids replicated per chip, which at L=4096
+    is ~64 MB per head per page (the memory sp exists to split)."""
+    from jax.sharding import NamedSharding
+
+    from ..models.decoder import dense_labels_from_spots
+
+    row_sharded = NamedSharding(mesh, P(None, axis, None))
     dense = {}
     for name in HEAD_NAMES:
         m = labels[name]
@@ -255,80 +379,124 @@ def sp_pair_losses(
                 p = lpad - m.shape[1]
                 m = jnp.pad(m, [(0, 0), (0, p), (0, p)])
         # shard label rows like the features
-        dense[name] = jnp.take(m, perm, axis=1)
+        dense[name] = jax.lax.with_sharding_constraint(
+            jnp.take(m, perm, axis=1), row_sharded)
+    return dense
 
+
+def _weights_by_head(class_weights):
     cw = jnp.asarray(class_weights, jnp.float32)
-    weights_by_head = {
-        name: (cw[:2] if name == "line_extraction" else cw)
-        for name in HEAD_NAMES
-    }
+    return {name: (cw[:2] if name == "line_extraction" else cw)
+            for name in HEAD_NAMES}
 
-    use_dropout = dropout_rng is not None and dropout_p > 0.0
-    rng_in = dropout_rng if use_dropout else jax.random.PRNGKey(0)
 
-    def shard_fn(a_loc, b_all, weights, lbl, base_rng):
-        s = jax.lax.axis_index(axis)
-        nums = {name: 0.0 for name in HEAD_NAMES}
-        dens = {name: 0.0 for name in HEAD_NAMES}
-        for r0 in range(0, ls, bs):
-            col0 = (r0 * sp // 128) * 128
-            ncols = lpad - col0
+def _finalize_losses(acc, use_ohem, loss_ratio, axis):
+    """Per-shard loss accumulators → replicated per-head losses + total."""
+    from ..ops.losses import ohem_stream_final, ohem_stream_merge
 
-            def block_sums(a_blk, b_slice, wts, tgts, s_idx, rng0,
-                           r0=r0, col0=col0, ncols=ncols):
-                """One block's weighted-CE sums, all 5 heads → ((5,), (5,)).
-
-                Wrapped in jax.checkpoint below so backward recomputes the
-                (B, bs, ncols, H) pair features and per-head activations
-                instead of saving them — mirroring the module path's
-                nn.remat (models/decoder.py): without it, sp *training*
-                residuals are O(L²·H/sp) per chip and the long-context runs
-                this path exists for would OOM."""
-                pair = jax.nn.silu(a_blk[:, :, None, :]
-                                   + b_slice[:, None, :, :])
-                rows, cols = _block_coords(r0, bs, col0, ncols, sp)
-                rows = rows + s_idx
-                ok = ((rows <= cols) & (rows < valid) & (cols < valid))
-                ok_flat = ok.reshape(1, bs * ncols).astype(jnp.float32)
-                ns, ds = [], []
-                for hi, name in enumerate(HEAD_NAMES):
-                    rng = None
-                    if use_dropout:
-                        rng = jax.random.fold_in(
-                            jax.random.fold_in(rng0, r0 * N_HEADS + hi),
-                            s_idx)
-                    logits = _head_block(pair.reshape(B, bs * ncols, H),
-                                         wts, hi, rng, dropout_p)
-                    tgt = tgts[name].reshape(B, bs * ncols)
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    ce = -jnp.take_along_axis(
-                        logp, tgt[..., None], axis=-1)[..., 0]
-                    w = weights_by_head[name][tgt] * ok_flat
-                    ns.append((ce * w).sum())
-                    ds.append(w.sum())
-                return jnp.stack(ns), jnp.stack(ds)
-
-            n_vec, d_vec = jax.checkpoint(block_sums)(
-                a_loc[:, r0:r0 + bs], b_all[:, col0:], weights,
-                {name: lbl[name][:, r0:r0 + bs, col0:]
-                 for name in HEAD_NAMES}, s, base_rng)
-            for hi, name in enumerate(HEAD_NAMES):
-                nums[name] = nums[name] + n_vec[hi]
-                dens[name] = dens[name] + d_vec[hi]
+    if use_ohem:
+        losses = {name: ohem_stream_final(ohem_stream_merge(acc[name], axis))
+                  for name in HEAD_NAMES}
+    else:
+        nums, dens = acc
         losses = {
             name: jax.lax.psum(nums[name], axis)
             / jnp.maximum(jax.lax.psum(dens[name], axis), 1e-12)
             for name in HEAD_NAMES
         }
-        losses["total"] = sum(
-            r * losses[name] for r, name in zip(loss_ratio, HEAD_NAMES))
-        return losses
+    losses["total"] = sum(
+        r * losses[name] for r, name in zip(loss_ratio, HEAD_NAMES))
+    return losses
 
-    spec_out = {name: P() for name in HEAD_NAMES}
-    spec_out["total"] = P()
+
+def sp_pair_eval(
+    a: jnp.ndarray,             # (B, Ld, H)
+    b: jnp.ndarray,             # (B, Ld, H)
+    head_weights,               # stacked (w1, b1, w2, b2)
+    labels: Dict[str, jnp.ndarray],
+    class_weights,
+    loss_ratio,
+    mesh: Mesh,
+    k: int,
+    valid_len: Optional[int] = None,
+    block_size: int = 128,
+    topk_method: str = "exact",
+    num_hard_positive: int = -1,
+    num_hard_negative: int = -1,
+    axis: str = "sp",
+):
+    """ONE row-sharded pass over the pair grid producing BOTH the compact
+    top-k spots and the 5-head losses — the sp twin of the module path's
+    ``also_decode`` (models/decoder.py:232-281). Each block's head logits
+    are computed once and feed both consumers, halving sp eval grid cost vs
+    running sp_pair_spots + sp_pair_losses back to back.
+
+    Returns ``(spots_out, losses)`` with layouts identical to those two
+    functions. Eval has no grad, so blocks are not checkpointed."""
+    B, Ld, H = a.shape
+    valid = Ld if valid_len is None else valid_len
+    sp = mesh.shape[axis]
+    a_rows, b_cols, perm, lpad, ls, bs = _sharded_layout(a, b, sp,
+                                                         block_size)
+    kk = min(k, ls * lpad)
+    dense = _dense_sharded_labels(labels, perm, lpad, mesh, axis)
+    weights_by_head = _weights_by_head(class_weights)
+    use_ohem = num_hard_positive != -1 or num_hard_negative != -1
+
+    def shard_fn(a_loc, b_all, weights, lbl):
+        from ..ops.losses import ohem_stream_init, ohem_stream_update
+
+        s = jax.lax.axis_index(axis)
+        spot_acc = _spot_acc_init(B)
+        if use_ohem:
+            loss_acc = {name: ohem_stream_init(num_hard_positive,
+                                               num_hard_negative)
+                        for name in HEAD_NAMES}
+        else:
+            loss_acc = ({name: 0.0 for name in HEAD_NAMES},
+                        {name: 0.0 for name in HEAD_NAMES})
+        for r0 in range(0, ls, bs):
+            col0 = (r0 * sp // 128) * 128
+            ncols = lpad - col0
+            pair = jax.nn.silu(a_loc[:, r0:r0 + bs, None, :]
+                               + b_all[:, None, col0:, :])
+            rows, cols = _block_coords(r0, bs, col0, ncols, sp)
+            rows = rows + s
+            ok = (rows <= cols) & (rows < valid) & (cols < valid)
+            flat = rows * Ld + cols
+            ok_flat = ok.reshape(1, bs * ncols).astype(jnp.float32)
+            pair_flat = pair.reshape(B, bs * ncols, H)
+            for hi, name in enumerate(HEAD_NAMES):
+                logits = _head_block(pair_flat, weights, hi)
+                _spot_block_update(spot_acc, hi, logits, ok, flat,
+                                   B, bs, ncols)
+                tgt = lbl[name][:, r0:r0 + bs, col0:].reshape(B, bs * ncols)
+                if use_ohem:
+                    loss_acc[name] = ohem_stream_update(
+                        loss_acc[name], logits, tgt, weights_by_head[name],
+                        jnp.broadcast_to(ok.reshape(1, bs * ncols),
+                                         tgt.shape))
+                else:
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    ce = -jnp.take_along_axis(
+                        logp, tgt[..., None], axis=-1)[..., 0]
+                    w = weights_by_head[name][tgt] * ok_flat
+                    loss_acc[0][name] = loss_acc[0][name] + (ce * w).sum()
+                    loss_acc[1][name] = loss_acc[1][name] + w.sum()
+        spots_out = _finalize_spots(spot_acc, k, kk, topk_method, axis,
+                                    Ld, B)
+        losses = _finalize_losses(loss_acc, use_ohem, loss_ratio, axis)
+        return spots_out, losses
+
+    spot_spec = jax.tree_util.tree_map(lambda _: P(), {
+        name: {"spot_idx": 0, "spot_tag": 0, "spot_score": 0,
+               "spot_count": 0, "seq_len": 0} for name in HEAD_NAMES})
+    loss_spec = {name: P() for name in HEAD_NAMES}
+    loss_spec["total"] = P()
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(),
-                  {name: P(None, axis, None) for name in HEAD_NAMES}, P()),
-        out_specs=spec_out, axis_names={axis})
-    return fn(a_rows, b_cols, head_weights, dense, rng_in)
+                  {name: P(None, axis, None) for name in HEAD_NAMES}),
+        out_specs=(spot_spec, loss_spec), axis_names={axis},
+        check_vma=False)  # see sp_pair_spots note; jit wrap required
+    return jax.jit(fn)(a_rows, b_cols, head_weights, dense)

@@ -214,5 +214,6 @@ def calculate_detail_kvpe_metric(
             summary[f"{task}_precision"] = p
             summary[f"{task}_recall"] = r
             summary[f"{task}_f1"] = f
+    detail["num_sample_processed"] = len(seen)
     detail["detail"] = sample_details
     return summary, detail

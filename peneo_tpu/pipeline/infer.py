@@ -410,10 +410,32 @@ class InferenceService:
             if os.path.isdir(image_dir) else [image_dir]
         if ocr_dir is None:
             ocr_paths = [None] * len(image_paths)  # tesseract apply_ocr mode
+        elif os.path.isdir(ocr_dir):
+            # pair OCR JSONs to images by basename stem — positional zip of
+            # two sorted listings silently shifts every pairing after one
+            # misnamed file; a missing stem is a hard error instead
+            by_stem = {}
+            for f in os.listdir(ocr_dir):
+                stem = os.path.splitext(f)[0]
+                if stem in by_stem:
+                    raise ValueError(
+                        f"duplicate OCR stem '{stem}' in {ocr_dir}: "
+                        f"{by_stem[stem]} vs {f}")
+                by_stem[stem] = f
+            missing = [os.path.basename(p) for p in image_paths
+                       if os.path.splitext(os.path.basename(p))[0]
+                       not in by_stem]
+            if missing:
+                raise FileNotFoundError(
+                    f"no OCR JSON for image(s) {missing[:5]}"
+                    f"{'…' if len(missing) > 5 else ''} in {ocr_dir} "
+                    "(matched by basename stem)")
+            ocr_paths = [
+                os.path.join(ocr_dir,
+                             by_stem[os.path.splitext(os.path.basename(p))[0]])
+                for p in image_paths]
         else:
-            ocr_paths = sorted(
-                os.path.join(ocr_dir, f) for f in os.listdir(ocr_dir)) \
-                if os.path.isdir(ocr_dir) else [ocr_dir]
+            ocr_paths = [ocr_dir]
         assert len(image_paths) == len(ocr_paths), \
             "image/OCR counts differ"
 

@@ -45,12 +45,14 @@ class DataFeed:
         self.device_put_fn = device_put_fn
         # Cache parsed items across epochs: __getitem__ re-tokenizes and
         # rebuilds label spots every epoch (the reference's DataLoader does
-        # too — torch re-parses per epoch). Deterministic unless box
-        # augmentation is on, so auto-enable exactly then. The parse is
-        # GIL-bound python; on small corpora it can otherwise bound the
-        # whole train step.
+        # too — torch re-parses per epoch). The parse is GIL-bound python;
+        # on small corpora it can otherwise bound the whole train step.
+        # Auto-enable from the dataset's own ``deterministic`` property
+        # (RFUND/SIBR datasets declare it; augmentation makes it False) —
+        # a dataset without the property is assumed deterministic, matching
+        # plain item lists.
         if cache_items is None:
-            cache_items = not bool(getattr(dataset, "apply_box_aug", False))
+            cache_items = bool(getattr(dataset, "deterministic", True))
         self._cache: Optional[dict] = {} if cache_items else None
         self._epoch = 0
         self._skip = 0

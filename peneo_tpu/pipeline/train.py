@@ -216,17 +216,16 @@ def make_sp_train_step(model: PEneoModel, optimizer, mesh,
     (parallel/seq_parallel.py): the backbone + shrink/combine run under
     dp/tp GSPMD as usual, then the O(L²) loss is computed row-sharded via
     partial-manual shard_map with a psum('sp') reduction. Long-context
-    training (L ≫ 512) splits its dominant FLOPs across sp chips. OHEM is
-    not supported on this path (decoder docstring); classifier dropout draws
-    from its own fold_in stream — same distribution, different draws than
-    the single-shard module path."""
+    training (L ≫ 512) splits its dominant FLOPs across sp chips. OHEM
+    streams per-shard top-k state and merges across shards
+    (ops/losses.ohem_stream_merge) — identical to the single-device path.
+    Classifier dropout draws from its own fold_in stream — same
+    distribution, different draws than the single-shard module path."""
     from ..models.decoder import HEAD_NAMES
     from ..ops.pair_head import stack_head_weights
     from ..parallel.seq_parallel import sp_pair_losses
 
     cfg = model.cfg
-    assert cfg.peneo_ohem_num_positive == -1 and \
-        cfg.peneo_ohem_num_negative == -1, "sp path does not support OHEM"
     drop_p = (cfg.backbone_config or {}).get("hidden_dropout_prob", 0.1)
     ratios = cfg.peneo_loss_ratio or [1.0] * 5
 
@@ -251,7 +250,9 @@ def make_sp_train_step(model: PEneoModel, optimizer, mesh,
                 cfg.peneo_category_weights, ratios, mesh,
                 valid_len=int(pair_in["valid_len"]),
                 block_size=sp_block_size,
-                dropout_rng=head_rng, dropout_p=drop_p)
+                dropout_rng=head_rng, dropout_p=drop_p,
+                num_hard_positive=cfg.peneo_ohem_num_positive,
+                num_hard_negative=cfg.peneo_ohem_num_negative)
             return losses["total"], losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -271,13 +272,14 @@ def make_sp_train_step(model: PEneoModel, optimizer, mesh,
 def make_sp_eval_step(model: PEneoModel, mesh, with_loss: bool = False,
                       sp_block_size: int = 128):
     """Eval step with the pair grid row-sharded over the sp mesh axis:
-    backbone under dp/tp GSPMD, then sp_pair_spots (and, with ``with_loss``,
-    sp_pair_losses) from the SAME pair inputs — the sp twin of
-    make_eval_step. Outputs are the per-head compact-spot dicts the host
+    backbone under dp/tp GSPMD, then ONE fused grid pass (sp_pair_eval)
+    producing both the compact spots and, with ``with_loss``, the 5-head
+    losses from the same per-block logits — the sp twin of make_eval_step's
+    ``also_decode``. Outputs are the per-head compact-spot dicts the host
     decoder consumes (identical to the module path; tests/test_seq_parallel)."""
     from ..models.decoder import HEAD_NAMES
     from ..ops.pair_head import stack_head_weights
-    from ..parallel.seq_parallel import sp_pair_losses, sp_pair_spots
+    from ..parallel.seq_parallel import sp_pair_eval, sp_pair_spots
 
     cfg = model.cfg
     assert cfg.max_spots_per_head > 0, \
@@ -296,17 +298,18 @@ def make_sp_eval_step(model: PEneoModel, mesh, with_loss: bool = False,
         )
         weights = stack_head_weights(
             params["peneo_decoder"], HEAD_NAMES, model.dtype)
-        out = sp_pair_spots(
-            pair_in["a"], pair_in["b"], weights, mesh,
-            cfg.max_spots_per_head, valid_len=int(pair_in["valid_len"]),
-            block_size=sp_block_size, topk_method=cfg.spot_topk)
         if not with_loss:
-            return out
-        losses = sp_pair_losses(
+            return sp_pair_spots(
+                pair_in["a"], pair_in["b"], weights, mesh,
+                cfg.max_spots_per_head, valid_len=int(pair_in["valid_len"]),
+                block_size=sp_block_size, topk_method=cfg.spot_topk)
+        return sp_pair_eval(
             pair_in["a"], pair_in["b"], weights, batch["labels"],
             cfg.peneo_category_weights, ratios, mesh,
-            valid_len=int(pair_in["valid_len"]), block_size=sp_block_size)
-        return out, losses
+            cfg.max_spots_per_head, valid_len=int(pair_in["valid_len"]),
+            block_size=sp_block_size, topk_method=cfg.spot_topk,
+            num_hard_positive=cfg.peneo_ohem_num_positive,
+            num_hard_negative=cfg.peneo_ohem_num_negative)
 
     return eval_step
 

@@ -301,6 +301,41 @@ class PEneoTrainer:
                     self.log({"event": "loaded_best", "step": best})
 
     # ------------------------------------------------------------------- eval
+    @staticmethod
+    def _eval_host(out, bsz: int):
+        """Eval outputs device→host. Single-process: plain device_get (rows
+        = None means "all"). Multi-process: a dp-sharded output can't be
+        fetched wholesale (rows living on other processes aren't
+        addressable) — fetch only this process's batch rows and return them
+        with their global row indices; every process decodes its own rows
+        and the global union is restored by the metric gather + fname dedup,
+        exactly the reference's per-rank decode + all_gather_object pattern
+        (reference pipeline/evaluation.py:149-177)."""
+        if jax.process_count() == 1:
+            return jax.device_get(out), None
+        # a row is locally decodable iff EVERY leaf holds it (XLA may leave
+        # some outputs replicated while others stay dp-sharded)
+        row_sets = []
+        for leaf in jax.tree_util.tree_leaves(out):
+            row_sets.append({r for sh in leaf.addressable_shards
+                             for r in range(*sh.index[0].indices(
+                                 leaf.shape[0]))})
+        rows = sorted(set.intersection(*row_sets))
+        rows = [r for r in rows if r < bsz]  # drop edge-padded tail rows
+
+        def fetch(x):
+            parts = {}
+            for sh in x.addressable_shards:
+                start = sh.index[0].indices(x.shape[0])[0]
+                data = np.asarray(sh.data)
+                for j in range(data.shape[0]):
+                    parts[start + j] = data[j]
+            if not rows:
+                return np.empty((0,) + x.shape[1:], x.dtype)
+            return np.stack([parts[r] for r in rows])
+
+        return jax.tree_util.tree_map(fetch, out), rows
+
     def evaluate(self, score_thresh: float = 0.0) -> Dict[str, float]:
         args = self.args
         feed = DataFeed(
@@ -350,9 +385,8 @@ class PEneoTrainer:
                 dev_batch = batch_to_device(batch, self.batch_sharding)
             if batch.labels:
                 if self._eval_step_loss is None:
-                    # sp: spots + losses are two shard_map passes over the
-                    # grid (vs the module path's single also_decode pass) —
-                    # fine for eval cadence, each pass is 1/sp per chip
+                    # sp: one fused shard_map pass (sp_pair_eval) yields
+                    # spots + losses, mirroring the module path's also_decode
                     self._eval_step_loss = jax.jit(
                         T.make_sp_eval_step(self.model, self.mesh,
                                             with_loss=True)
@@ -365,11 +399,20 @@ class PEneoTrainer:
                 loss_weight += bsz
             else:
                 out = self._eval_step(params, dev_batch)
-            out = jax.device_get(out)
-            preds, gts, fnames = dec.decode_batch(
-                batch.texts, out, batch.labels,
-                [int(s) for s in batch.seq_len], batch.fnames,
-                score_thresh=score_thresh)
+            out, rows = self._eval_host(out, bsz)
+            if rows is None:
+                preds, gts, fnames = dec.decode_batch(
+                    batch.texts, out, batch.labels,
+                    [int(s) for s in batch.seq_len], batch.fnames,
+                    score_thresh=score_thresh)
+            else:  # multi-process: decode only this process's rows
+                sub_labels = {k: v[rows] for k, v in
+                              (batch.labels or {}).items()}
+                preds, gts, fnames = dec.decode_batch(
+                    [batch.texts[i] for i in rows], out, sub_labels,
+                    [int(batch.seq_len[i]) for i in rows],
+                    [batch.fnames[i] for i in rows],
+                    score_thresh=score_thresh)
             all_pred.extend(preds)
             all_gt.extend(gts)
             all_fname.extend(fnames)
@@ -379,6 +422,9 @@ class PEneoTrainer:
         summary, detail = calc(all_pred, all_gt, all_fname,
                                gather_fn=ev.multihost_gather)
         summary = dict(summary)
+        # deduped global sample count — observability for distributed eval
+        # (reference logs it in detail mode, pipeline/evaluation.py:646-665)
+        summary["num_sample_processed"] = detail.get("num_sample_processed")
         if loss_weight > 0:
             for kk, v in loss_sums.items():
                 summary[f"loss_{kk}"] = v / loss_weight

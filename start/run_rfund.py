@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, required=False)
     p.add_argument("--language", type=str, default="en")
     p.add_argument("--apply_box_aug", action="store_true")
+    p.add_argument("--box_aug_quirk", action="store_true",
+                   help="with --apply_box_aug: reproduce the reference's "
+                        "always-down vertical jitter (data_utils.py:155-160) "
+                        "for byte-identical training boxes; default honors "
+                        "the drawn direction")
     p.add_argument("--detail_eval", action="store_true")
     p.add_argument("--save_eval_detail", action="store_true")
     p.add_argument("--start_eval_epoch", type=int, default=0)
@@ -59,7 +64,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel chips: pair-grid rows sharded "
-                        "(long-context training; no OHEM on this path)")
+                        "(long-context training; OHEM supported)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over dp (ZeRO-3)")
     p.add_argument("--dtype", type=str, default="bfloat16",
@@ -74,6 +79,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_model", type=str, default="small",
                    choices=["tiny", "small", "base"],
                    help="backbone size for --synthetic_data runs")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="override the JAX platform via jax.config (use with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for a virtual CPU mesh; setting the JAX_PLATFORMS "
+                        "env var instead breaks the forced device count "
+                        "under this environment's early PJRT registration)")
     return p
 
 
@@ -174,15 +186,16 @@ def setup(args, dataset_cls_name="rfund"):
         add_cls_token=info.add_cls_token,
         add_sep_token=info.add_sep_token,
     )
+    aug_kwargs = dict(apply_box_aug=args.apply_box_aug,
+                      box_aug_quirk=args.box_aug_quirk)
     if dataset_cls_name == "rfund":
         data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
         train_ds = RFUNDDataset(data_dir, "train", args.language,
-                                apply_box_aug=args.apply_box_aug, **ds_kwargs)
+                                **aug_kwargs, **ds_kwargs)
         eval_ds = RFUNDDataset(data_dir, "dev", args.language, **ds_kwargs)
     else:
         data_dir = args.data_dir or os.path.join(args.output_dir, "synthetic_data")
-        train_ds = SIBRDataset(data_dir, "train",
-                               apply_box_aug=args.apply_box_aug, **ds_kwargs)
+        train_ds = SIBRDataset(data_dir, "train", **aug_kwargs, **ds_kwargs)
         eval_ds = SIBRDataset(data_dir, "test", **ds_kwargs)
 
     image_loader = None
@@ -225,6 +238,10 @@ def _load_params(path, cfg):
 
 def main(argv=None, dataset_cls_name="rfund"):
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "args.json"), "w") as f:
         json.dump(vars(args), f, indent=2)

@@ -87,6 +87,49 @@ def test_sibr_item_parity(sibr_root):
                 assert rf[key] == of[key], (i, key)
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_box_aug_quirk_parity(rfund_root):
+    """``apply_box_aug`` + ``box_aug_quirk`` reproduces the reference's
+    augmented items byte-for-byte: same global-random draw sequence, same
+    always-down vertical shift (reference data/data_utils.py:155-160) —
+    the strict-parity mode for fine-tuning converted reference checkpoints."""
+    enable_reference_imports()
+    import random
+
+    from data.datasets.rfund import RFUNDDataset as RefRFUND
+
+    tok = ToyTokenizer()
+    ref = RefRFUND(rfund_root, "train", "en", tok, tokenizer_fetcher=fetch_xlm,
+                   max_token_len=511, add_cls_token=True, apply_box_aug=True)
+    ours = RFUNDDataset(rfund_root, "train", "en", tok,
+                        tokenizer_fetcher=fetch_xlm, max_token_len=511,
+                        add_cls_token=True, apply_box_aug=True,
+                        box_aug_quirk=True)
+    fixed = RFUNDDataset(rfund_root, "train", "en", tok,
+                         tokenizer_fetcher=fetch_xlm, max_token_len=511,
+                         add_cls_token=True, apply_box_aug=True)
+    any_diff = False
+    for i in range(len(ref)):
+        random.seed(1234 + i)
+        rf = ref[i]
+        random.seed(1234 + i)
+        of = ours[i]
+        for key in rf.keys():
+            if key in ("bbox", "orig_bbox"):
+                assert np.array_equal(np.asarray(rf[key], dtype=np.float64),
+                                      np.asarray(of[key], dtype=np.float64)), (i, key)
+            else:
+                assert rf[key] == of[key], (i, key)
+        # default (fixed) mode draws the same sequence but honors the
+        # vertical direction — it must diverge somewhere on this corpus
+        random.seed(1234 + i)
+        ff = fixed[i]
+        if not np.array_equal(np.asarray(rf["orig_bbox"], dtype=np.float64),
+                              np.asarray(ff["orig_bbox"], dtype=np.float64)):
+            any_diff = True
+    assert any_diff, "fixed-direction aug never differed; quirk flag is moot"
+
+
 def test_collator_shapes(rfund_root):
     ds = _ours(rfund_root)
     coll = PEneoCollator(max_seq_len=512, pad_token_id=0, add_cls_token=True)

@@ -1,5 +1,5 @@
-"""DataFeed item-cache: identical batches across epochs, auto-disabled
-under box augmentation."""
+"""DataFeed item-cache: identical batches across epochs, auto-disabled when
+the dataset declares itself non-deterministic (box augmentation)."""
 
 import numpy as np
 
@@ -7,7 +7,7 @@ from peneo_tpu.pipeline.loader import DataFeed
 
 
 class _Ds:
-    apply_box_aug = False
+    deterministic = True
 
     def __init__(self):
         self.calls = 0
@@ -21,7 +21,7 @@ class _Ds:
 
 
 class _AugDs(_Ds):
-    apply_box_aug = True
+    deterministic = False
 
 
 def _collate(items):

@@ -220,6 +220,87 @@ def test_sp_matches_at_l137_with_column_skip():
                 np.testing.assert_allclose(rs, float(ss), rtol=1e-5)
 
 
+def test_sp_ohem_losses_match_module_path():
+    """OHEM on the sp path (per-shard streaming top-k state + cross-shard
+    merge) must reproduce the single-device streaming OHEM exactly."""
+    cfg = _cfg(peneo_ohem_num_positive=5, peneo_ohem_num_negative=12)
+    batch = _batch(seed=5)
+    model, params = _init(cfg, batch)
+
+    ref = model.apply({"params": params}, batch["input_ids"], batch["bbox"],
+                      batch["attention_mask"], labels=batch["labels"],
+                      deterministic=True)
+
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    pair_in = model.apply({"params": params}, batch["input_ids"],
+                          batch["bbox"], batch["attention_mask"],
+                          deterministic=True, return_pair_inputs=True)
+    weights = stack_head_weights(params["peneo_decoder"], HEAD_NAMES,
+                                 jnp.float32)
+    got = sp_pair_losses(pair_in["a"], pair_in["b"], weights,
+                         batch["labels"], cfg.peneo_category_weights,
+                         cfg.peneo_loss_ratio or [1.0] * 5, mesh,
+                         valid_len=int(pair_in["valid_len"]),
+                         num_hard_positive=5, num_hard_negative=12)
+    for name in list(HEAD_NAMES) + ["total"]:
+        np.testing.assert_allclose(float(got[name]), float(ref[name]),
+                                   rtol=1e-5, err_msg=name)
+
+
+def test_sp_ohem_keep_all_negative_group():
+    """One-sided OHEM (k<=0 keeps the whole group) exercises the psum'd
+    keep-all branch of the cross-shard merge."""
+    cfg = _cfg(peneo_ohem_num_positive=4, peneo_ohem_num_negative=-2)
+    batch = _batch(seed=6)
+    model, params = _init(cfg, batch)
+    ref = model.apply({"params": params}, batch["input_ids"], batch["bbox"],
+                      batch["attention_mask"], labels=batch["labels"],
+                      deterministic=True)
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    pair_in = model.apply({"params": params}, batch["input_ids"],
+                          batch["bbox"], batch["attention_mask"],
+                          deterministic=True, return_pair_inputs=True)
+    weights = stack_head_weights(params["peneo_decoder"], HEAD_NAMES,
+                                 jnp.float32)
+    got = sp_pair_losses(pair_in["a"], pair_in["b"], weights,
+                         batch["labels"], cfg.peneo_category_weights,
+                         cfg.peneo_loss_ratio or [1.0] * 5, mesh,
+                         valid_len=int(pair_in["valid_len"]),
+                         num_hard_positive=4, num_hard_negative=-2)
+    for name in list(HEAD_NAMES) + ["total"]:
+        np.testing.assert_allclose(float(got[name]), float(ref[name]),
+                                   rtol=1e-5, err_msg=name)
+
+
+def test_sp_ohem_train_step_matches_gspmd():
+    """The sp train step with OHEM configured (the combination VERDICT r2
+    flagged as unsupported) must track the GSPMD step step-for-step."""
+    cfg = _cfg(peneo_ohem_num_positive=6, peneo_ohem_num_negative=10)
+    batch = _batch(seed=7)
+    model, _ = _init(cfg, batch)
+    opt = T.make_optimizer(None, lr=1e-3, total_steps=10,
+                           downstream_speedup_ratio=30.0)
+    mesh = pmesh.make_mesh(dp=2, tp=2, sp=2)
+    bsh = pmesh.batch_sharding(mesh)
+    dev_batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+
+    hists = {}
+    for kind in ("gspmd", "sp"):
+        state = T.create_train_state(cfg, model, opt, batch, seed=0)
+        shardings = pmesh.param_shardings(state.params, mesh)
+        state = T.shard_state(state, mesh, shardings)
+        step_fn = (T.jit_train_step(model, opt) if kind == "gspmd"
+                   else T.make_sp_train_step(model, opt, mesh))
+        hist = []
+        for _ in range(3):
+            state, metrics = step_fn(state, dev_batch)
+            hist.append(float(metrics["total"]))
+        hists[kind] = hist
+    # trajectory parity is the assertion; OHEM mines the hardest examples,
+    # so the loss need not fall over 3 steps on a random tiny model
+    np.testing.assert_allclose(hists["sp"], hists["gspmd"], rtol=1e-4)
+
+
 def test_sp_eval_step_matches_module_eval():
     """make_sp_eval_step (trainer --sp eval path) must reproduce the module
     also_decode eval step: same losses, same decoded spot sets."""

@@ -8,7 +8,7 @@ transfer, and the host chain-walk decode — on synthetic pages with the
 full-size LiLT geometry and the toy tokenizer (no hub access needed).
 
 Usage (TPU host):
-    python tools/bench_serving.py [--pages 128] [--batch 32] [--L 512]
+    python tools/bench_serving.py [--pages 256] [--batch 32] [--L 512]
                                   [--workers 4] [--profile_host]
 """
 
@@ -85,7 +85,9 @@ def build_assets(root: str, pages: int, L: int, lines_per_page: int):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--pages", type=int, default=128)
+    # 256 pages averages out the remote-TPU tunnel's ±5-10% variance
+    # (shorter runs report the noisier number — CLAUDE.md / docs §8)
+    p.add_argument("--pages", type=int, default=256)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--L", type=int, default=512)
     p.add_argument("--lines_per_page", type=int, default=24)
