@@ -411,8 +411,14 @@ def pack_spots(out):
 
 
 def _ce_sums(logits, targets, class_weights, mask):
-    """Weighted-CE numerator/denominator for one block (torch 'mean' parts)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    w = class_weights[targets] * mask.astype(jnp.float32)
+    """Weighted-CE numerator/denominator for one block (torch 'mean' parts).
+
+    Target selection and class-weight lookup use select chains instead of
+    gathers — bit-identical, but they fuse into the loss fusion where the
+    small-C gathers compiled to their own memory-bound fusions (~4 ms/step
+    per head at B=8, L=512 — r3 train profile; ops/losses.py rationale)."""
+    from ..ops.losses import _per_element_ce, class_weight_lookup
+
+    ce = _per_element_ce(logits, targets)
+    w = class_weight_lookup(class_weights, targets) * mask.astype(jnp.float32)
     return (ce * w).sum(), w.sum()

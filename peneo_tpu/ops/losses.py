@@ -26,9 +26,29 @@ import jax.numpy as jnp
 
 
 def _per_element_ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Unweighted per-element cross-entropy, fp32."""
+    """Unweighted per-element cross-entropy, fp32.
+
+    The target logp is picked with a one-hot select-sum rather than
+    ``take_along_axis``: for the 2-4 classes of the pair heads a C-way
+    select chain fuses into the surrounding elementwise code, where the
+    equivalent small-C gather compiled to its own memory-bound fusion
+    (measured ~4 ms/step/head at B=8, L=512 — r3 train profile). Values are
+    bit-identical (the sum adds exact zeros)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    classes = jnp.arange(logits.shape[-1], dtype=targets.dtype)
+    onehot = targets[..., None] == classes
+    return -jnp.where(onehot, logp, 0.0).sum(axis=-1)
+
+
+def class_weight_lookup(class_weights: jnp.ndarray,
+                        targets: jnp.ndarray) -> jnp.ndarray:
+    """``class_weights[targets]`` as a select chain (same fusion rationale
+    as :func:`_per_element_ce`; exact — multiplies by 1.0/0.0)."""
+    cw = class_weights.astype(jnp.float32)
+    w = jnp.zeros(targets.shape, jnp.float32)
+    for k in range(cw.shape[0]):
+        w = w + jnp.where(targets == k, cw[k], 0.0)
+    return w
 
 
 def weighted_cross_entropy(
@@ -46,7 +66,7 @@ def weighted_cross_entropy(
     class weights, not the count.
     """
     ce = _per_element_ce(logits, targets)
-    w = class_weights.astype(jnp.float32)[targets]
+    w = class_weight_lookup(class_weights, targets)
     if mask is not None:
         w = w * mask.astype(jnp.float32)
     num = (ce * w).sum()
@@ -88,7 +108,7 @@ def ohem_cross_entropy(
     intended reference behavior when only one side uses OHEM).
     """
     ce = _per_element_ce(logits, targets)
-    w = class_weights.astype(jnp.float32)[targets]
+    w = class_weight_lookup(class_weights, targets)
     ce_w = ce * w
     valid = jnp.ones_like(ce_w, dtype=bool) if mask is None else mask.astype(bool)
     pos_mask = (targets != 0) & valid
@@ -125,7 +145,7 @@ def ohem_stream_init(num_hard_positive: int, num_hard_negative: int):
 def ohem_stream_update(state, logits, targets, class_weights, mask):
     """Fold one block's weighted CE into the running OHEM state."""
     ce_w = _per_element_ce(logits, targets) \
-        * class_weights.astype(jnp.float32)[targets]
+        * class_weight_lookup(class_weights, targets)
     valid = mask.astype(bool)
     new = {}
     for key, gmask in (("pos", (targets != 0) & valid),
@@ -196,7 +216,7 @@ def random_sample_cross_entropy(
     of each group via random scores + top_k."""
     ce = _per_element_ce(logits, targets)
     if class_weights is not None:
-        ce = ce * class_weights.astype(jnp.float32)[targets]
+        ce = ce * class_weight_lookup(class_weights, targets)
     valid = jnp.ones_like(ce, dtype=bool) if mask is None else mask.astype(bool)
     noise = jax.random.uniform(rng, ce.shape)
 

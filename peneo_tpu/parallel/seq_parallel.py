@@ -325,10 +325,12 @@ def sp_pair_losses(
                             jnp.broadcast_to(ok.reshape(1, bs * ncols),
                                              tgt.shape))
                     else:
-                        logp = jax.nn.log_softmax(logits, axis=-1)
-                        ce = -jnp.take_along_axis(
-                            logp, tgt[..., None], axis=-1)[..., 0]
-                        w = weights_by_head[name][tgt] * ok_flat
+                        from ..ops.losses import (_per_element_ce,
+                                                  class_weight_lookup)
+
+                        ce = _per_element_ce(logits, tgt)
+                        w = class_weight_lookup(
+                            weights_by_head[name], tgt) * ok_flat
                         new_nums[name] = carry[0][name] + (ce * w).sum()
                         new_dens[name] = carry[1][name] + w.sum()
                 if use_ohem:
@@ -477,10 +479,12 @@ def sp_pair_eval(
                         jnp.broadcast_to(ok.reshape(1, bs * ncols),
                                          tgt.shape))
                 else:
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    ce = -jnp.take_along_axis(
-                        logp, tgt[..., None], axis=-1)[..., 0]
-                    w = weights_by_head[name][tgt] * ok_flat
+                    from ..ops.losses import (_per_element_ce,
+                                              class_weight_lookup)
+
+                    ce = _per_element_ce(logits, tgt)
+                    w = class_weight_lookup(
+                        weights_by_head[name], tgt) * ok_flat
                     loss_acc[0][name] = loss_acc[0][name] + (ce * w).sum()
                     loss_acc[1][name] = loss_acc[1][name] + w.sum()
         spots_out = _finalize_spots(spot_acc, k, kk, topk_method, axis,
