@@ -169,6 +169,9 @@ class PEneoConfig:
     dtype: str = "bfloat16"         # compute dtype for the jitted model
     use_pallas_pair_head: bool = False
     use_flash_attention: bool = False   # Pallas flash attention (inference / no-attn-dropout)
+    # dim-80-aware fused BiACM attention kernel (LiLT; inference only):
+    # separate d=64/d=16 score matmuls + shared softmax (ops/biacm_attention)
+    use_fused_biacm: bool = False
     gradient_checkpointing: bool = False  # remat backbone layers (memory vs FLOPs)
     # inference: ship only the top-k nonzero triu spots per head to host
     # (0 = dense (L, L) tag/score maps, used by tests/parity)

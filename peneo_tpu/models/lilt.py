@@ -161,6 +161,7 @@ class LiltSelfAttention(nn.Module):
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    fused_biacm: bool = False
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -183,8 +184,24 @@ class LiltSelfAttention(nn.Module):
         k_l = proj(layout, cfg.hidden_size // r, "layout_key")
         v_l = proj(layout, cfg.hidden_size // r, "layout_value")
 
-        use_flash = self.flash and (
-            deterministic or cfg.attention_probs_dropout_prob == 0.0)
+        no_attn_dropout = (deterministic
+                           or cfg.attention_probs_dropout_prob == 0.0)
+        if self.fused_biacm and no_attn_dropout and L % 128 == 0:
+            # dim-80-aware fused kernel: separate d=64/d=16 score matmuls +
+            # shared softmax, no (L, L) HBM roundtrip (ops/biacm_attention)
+            from ..ops.biacm_attention import biacm_attention
+
+            ctx_t, ctx_l = biacm_attention(
+                q_t.transpose(0, 2, 1, 3), k_t.transpose(0, 2, 1, 3),
+                v_t.transpose(0, 2, 1, 3), q_l.transpose(0, 2, 1, 3),
+                k_l.transpose(0, 2, 1, 3), v_l.transpose(0, 2, 1, 3),
+                attn_bias[:, 0, 0, :].astype(jnp.float32),
+                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5,
+                interpret=jax.default_backend() == "cpu")
+            return (ctx_t.transpose(0, 2, 1, 3).reshape(B, L, nh * dh),
+                    ctx_l.transpose(0, 2, 1, 3).reshape(B, L, nh * dh_l))
+
+        use_flash = self.flash and no_attn_dropout
         if use_flash:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
@@ -257,12 +274,14 @@ class LiltLayer(nn.Module):
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    fused_biacm: bool = False
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
         cfg = self.cfg
         lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
         ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, self.flash,
+                                         self.fused_biacm,
                                          name="self_attn")(
             text, layout, attn_bias, seg_mask, deterministic)
         text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
@@ -283,6 +302,7 @@ class LiltModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_layers: bool = False  # gradient checkpointing per layer
     flash_attention: bool = False
+    fused_biacm: bool = False  # dim-80-aware fused BiACM kernel (inference)
 
     @nn.compact
     def __call__(
@@ -308,6 +328,7 @@ class LiltModel(nn.Module):
                      if self.remat_layers else LiltLayer)
         for i in range(cfg.num_hidden_layers):
             text, layout = layer_cls(cfg, self.dtype, self.flash_attention,
+                                     self.fused_biacm,
                                      name=f"layer_{i}")(
                 text, layout, attn_bias, seg_mask, deterministic)
 

@@ -31,6 +31,7 @@ def build_backbone(cfg: PEneoConfig, dtype):
     if fam == "lilt":
         return LiltModel(cfg.backbone(), dtype=dtype, remat_layers=remat,
                          flash_attention=cfg.use_flash_attention,
+                         fused_biacm=getattr(cfg, "use_fused_biacm", False),
                          name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model

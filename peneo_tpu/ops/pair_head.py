@@ -7,9 +7,9 @@ L=512, H=384 that is ~200 MB of traffic per sample per head layer. This
 kernel keeps the whole chain in VMEM per (row-tile × col-tile):
 
     P   = silu(A[i_tile, :, None] + B[None, j_tile, :])   (TI·TJ, H)
-    X_h = silu(P @ W1_h + b1_h)                           per head
-    lg  = X_h @ W2_h + b2_h                               (TI·TJ, C)
-    tag = argmax softmax(lg);  score = max softmax(lg)
+    X   = silu(P @ W1s + b1s)     one (H → 5H) matmul, all heads stacked
+    lgᵀ = W2ᵀ·Xᵀ                  block-diagonal (5C, 5H) → (5C, TI·TJ)
+    tag = argmax lg over classes; score = 1/Σexp(lg - max) (= max prob)
 
 writing only the tiny (TI, TJ) tag/score tiles to HBM. Lower-triangle tiles
 are skipped entirely (pl.when on the grid coordinates).
@@ -41,7 +41,8 @@ def _silu_f32(x32):
     return x32 / (1.0 + jnp.exp(-x32))
 
 
-def _kernel(a_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, tags_ref, scores_ref):
+def _kernel(a_ref, b_ref, w1s_ref, b1s_ref, w2t_ref, b2_ref, tags_ref,
+            scores_ref):
     i = pl.program_id(1)
     j = pl.program_id(2)
     ti = a_ref.shape[1]
@@ -55,16 +56,29 @@ def _kernel(a_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, tags_ref, scores_ref):
         dtype = a_ref.dtype
         pair32 = a[:, None, :] + b[None, :, :]
         pair = _silu_f32(pair32).astype(dtype).reshape(ti * tj, h)
+        # all 5 heads in ONE fc_0 matmul (H → 5H): a single large-N MXU op
+        # pipelines better than five H→H ops. (The XLA path measured the
+        # same stacking 13% SLOWER — but only because it broke XLA's
+        # producer fusions, docs §8; inside one kernel there is nothing to
+        # break.)
+        x = jnp.dot(pair, w1s_ref[...], preferred_element_type=jnp.float32)
+        x = _silu_f32(x + b1s_ref[...].astype(jnp.float32)).astype(dtype)
+        # logits come out TRANSPOSED (5·C_PAD, N) via a block-diagonal w2ᵀ:
+        # with (N, C_PAD) layout the 4-class minor dim pads to 128 lanes and
+        # every softmax/argmax pass wastes 124/128 of the VPU; (C, N) makes
+        # them cheap cross-sublane reductions over 4 rows.
+        lgt = jax.lax.dot_general(
+            w2t_ref[...], x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (5·C_PAD, TI·TJ)
         for head in range(N_HEADS):
-            x = jnp.dot(pair, w1_ref[head], preferred_element_type=jnp.float32)
-            x = _silu_f32(x + b1_ref[head][None, :].astype(jnp.float32))
-            x = x.astype(dtype)
-            logits = jnp.dot(x, w2_ref[head], preferred_element_type=jnp.float32)
-            logits = logits + b2_ref[head][None, :].astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1)
-            tags_ref[head, 0] = jnp.argmax(probs, axis=-1).astype(
+            lg = (lgt[head * C_PAD:(head + 1) * C_PAD]
+                  + b2_ref[head][:, None].astype(jnp.float32))
+            mx = jnp.max(lg, axis=0)
+            e = jnp.exp(lg - mx[None, :])
+            score = 1.0 / e.sum(axis=0)  # = max softmax prob (e at argmax = 1)
+            tags_ref[head, 0] = jnp.argmax(lg, axis=0).astype(
                 jnp.int32).reshape(ti, tj)
-            scores_ref[head, 0] = jnp.max(probs, axis=-1).reshape(ti, tj)
+            scores_ref[head, 0] = score.reshape(ti, tj)
 
     @pl.when(j * tj + tj <= i * ti)  # fully below the diagonal: never read
     def _():
@@ -79,14 +93,28 @@ def pair_head_infer(
     b1: jnp.ndarray,       # (5, H)
     w2: jnp.ndarray,       # (5, H, C_PAD) padded second-layer kernels
     b2: jnp.ndarray,       # (5, C_PAD) with NEG_INF on pad classes
-    tile_i: int = 32,
+    tile_i: int = 16,
     tile_j: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tags (5, B, L, L) int32, scores (5, B, L, L) float32)."""
+    """Returns (tags (5, B, L, L) int32, scores (5, B, L, L) float32).
+
+    ``tile_i`` defaults to 16 (not 32): the stacked activations
+    (TI·TJ, 5H) must fit VMEM — at H=384, bf16, TI=16, TJ=128 that is
+    ~7.5 MB, leaving room for pair features and weights."""
     B, L, H = a.shape
     assert L % tile_i == 0 and L % tile_j == 0, (L, tile_i, tile_j)
     grid = (B, L // tile_i, L // tile_j)
+
+    # stacked single-matmul forms (folded into constants under jit):
+    # fc_0 kernels concatenated on the output dim, fc_out kernels transposed
+    # into one block-diagonal (5·C_PAD, 5H)
+    w1s = jnp.transpose(w1, (1, 0, 2)).reshape(H, N_HEADS * H)
+    b1s = b1.reshape(1, N_HEADS * H)
+    w2t = jnp.zeros((N_HEADS * C_PAD, N_HEADS * H), w2.dtype)
+    for h in range(N_HEADS):
+        w2t = w2t.at[h * C_PAD:(h + 1) * C_PAD, h * H:(h + 1) * H].set(
+            w2[h].T)
 
     flops = 2 * B * (L * L // 2) * H * (H + C_PAD) * N_HEADS
     out = pl.pallas_call(
@@ -97,11 +125,12 @@ def pair_head_infer(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_j, H), lambda bi, i, j: (bi, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_HEADS, H, H), lambda bi, i, j: (0, 0, 0),
+            pl.BlockSpec((H, N_HEADS * H), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_HEADS, H), lambda bi, i, j: (0, 0),
+            pl.BlockSpec((1, N_HEADS * H), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_HEADS, H, C_PAD), lambda bi, i, j: (0, 0, 0),
+            pl.BlockSpec((N_HEADS * C_PAD, N_HEADS * H),
+                         lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N_HEADS, C_PAD), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -122,7 +151,7 @@ def pair_head_infer(
             flops=flops, bytes_accessed=a.size * 4 + b.size * 4,
             transcendentals=B * L * L * N_HEADS),
         interpret=interpret,
-    )(a, b, w1, b1, w2, b2)
+    )(a, b, w1s, b1s, w2t, b2)
     return out[0], out[1]
 
 

@@ -91,6 +91,8 @@ def parse_trace(logdir: str):
         name = e.get("name", "?")
         if name.startswith("jit_"):
             continue  # module-level event double-counts its child ops
+        if name.isdigit():
+            continue  # per-step aggregate lanes ("0", "1", …) double-count
         # the hlo_op/long_name arg (when present) is more classifiable than
         # "fusion.1234"
         args = e.get("args", {})
