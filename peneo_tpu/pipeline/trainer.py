@@ -67,6 +67,15 @@ class TrainingArguments:
     # amortizes per-call overhead on remote transports. max_steps rounds up
     # to a multiple of K.
     steps_per_call: int = 1
+    # Use the TPU hardware RNG ('rbg') for dropout streams. The default
+    # threefry impl generates dropout mask bits in software — measured
+    # 137 → 330 ms/step at base geometry/B=8 with p=0.1 dropout (r3
+    # attribution), i.e. the mask bits cost more than the whole model.
+    # rbg keeps split/fold_in stable (threefry on key words) and draws the
+    # bits with the hardware generator. Different stream than threefry —
+    # same distribution; checkpoints store the key array, so resuming a
+    # pre-rbg checkpoint needs fast_rng=False.
+    fast_rng: bool = True
 
 
 class PEneoTrainer:
@@ -107,6 +116,8 @@ class PEneoTrainer:
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()  # resumed/restarted runs skip recompiles
+        if args.fast_rng:
+            jax.config.update("jax_default_prng_impl", "rbg")
         self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
 
