@@ -154,6 +154,8 @@ def main(argv=None):
     p.add_argument("--compare_pair_head", action="store_true",
                    help="time XLA-blockwise vs Pallas pair head back to back "
                         "(extra lines go to stderr; JSON line stays last)")
+    p.add_argument("--fused_biacm", action="store_true",
+                   help="route LiLT attention through the fused BiACM kernel")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
@@ -176,6 +178,7 @@ def main(argv=None):
         ).to_dict(),
         max_seq_len=args.L,
         use_pallas_pair_head=args.pallas,
+        use_fused_biacm=args.fused_biacm,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

@@ -71,8 +71,10 @@ def _kernel(a_ref, b_ref, w1s_ref, b1s_ref, w2t_ref, b2_ref, tags_ref,
             w2t_ref[...], x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (5·C_PAD, TI·TJ)
         for head in range(N_HEADS):
-            lg = (lgt[head * C_PAD:(head + 1) * C_PAD]
-                  + b2_ref[head][:, None].astype(jnp.float32))
+            # cast before the [:, None]: Mosaic only supports non-no-op
+            # minor-dim insertion for 32-bit types
+            b2_col = b2_ref[head].astype(jnp.float32)[:, None]
+            lg = lgt[head * C_PAD:(head + 1) * C_PAD] + b2_col
             mx = jnp.max(lg, axis=0)
             e = jnp.exp(lg - mx[None, :])
             score = 1.0 / e.sum(axis=0)  # = max softmax prob (e at argmax = 1)
