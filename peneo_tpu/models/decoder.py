@@ -160,6 +160,7 @@ class PEneoDecoder(nn.Module):
         also_decode: bool = False,
         pallas_head_weights=None,  # stacked (w1, b1, w2, b2) → fused kernel
         return_pair_inputs: bool = False,  # expose (a, b) for sp sharding
+        label_row_mask: Optional[jnp.ndarray] = None,  # (B,) 1=row in loss
     ):
         cfg = self.cfg
         bc = cfg.backbone_config or {}
@@ -231,12 +232,20 @@ class PEneoDecoder(nn.Module):
                 lbl[name] = m
             dec_tags = {name: [] for name in HEAD_NAMES} if also_decode else None
             dec_scores = {name: [] for name in HEAD_NAMES} if also_decode else None
+            # per-sample loss inclusion: eval pads ragged final batches by
+            # repeating rows (pipeline/trainer.py) — masking those rows out
+            # of the CE/OHEM sums keeps reported eval losses exact instead of
+            # biased by up to one batch's padding fraction
+            rowm = (None if label_row_mask is None
+                    else (label_row_mask > 0)[:, None, None])
             for r0 in range(0, Lp, bs):
                 # triu-only: row block r0 needs columns >= r0 (the lower
                 # triangle is masked everywhere downstream) — ~45% less
                 # pair-head compute, all shapes still static per block.
                 logits_blk = bank(a[:, r0:r0 + bs], b[:, r0:], deterministic)
                 mask = triu_valid_mask(r0, bs, Lp - r0, Ld, col0=r0)[None]
+                if rowm is not None:
+                    mask = mask & rowm
                 if also_decode:
                     for name in HEAD_NAMES:
                         p = jax.nn.softmax(

@@ -72,6 +72,7 @@ class PEneoModel(nn.Module):
         also_decode: bool = False,
         pallas_head_weights=None,
         return_pair_inputs: bool = False,
+        label_row_mask: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         fam = cfg.backbone_family()
@@ -101,4 +102,5 @@ class PEneoModel(nn.Module):
         return decoder(hidden, labels=labels, deterministic=deterministic,
                        return_logits=return_logits, also_decode=also_decode,
                        pallas_head_weights=pallas_head_weights,
-                       return_pair_inputs=return_pair_inputs)
+                       return_pair_inputs=return_pair_inputs,
+                       label_row_mask=label_row_mask)

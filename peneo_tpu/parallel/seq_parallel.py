@@ -426,12 +426,18 @@ def sp_pair_eval(
     num_hard_positive: int = -1,
     num_hard_negative: int = -1,
     axis: str = "sp",
+    row_mask: Optional[jnp.ndarray] = None,  # (B,) 1 = sample in loss sums
 ):
     """ONE row-sharded pass over the pair grid producing BOTH the compact
     top-k spots and the 5-head losses — the sp twin of the module path's
     ``also_decode`` (models/decoder.py:232-281). Each block's head logits
     are computed once and feed both consumers, halving sp eval grid cost vs
     running sp_pair_spots + sp_pair_losses back to back.
+
+    ``row_mask`` excludes edge-padded duplicate samples (the trainer's
+    ragged final eval batch) from the CE/OHEM sums, mirroring the module
+    path's ``label_row_mask``; spots are still produced for every sample
+    (the host decoder discards padded rows itself).
 
     Returns ``(spots_out, losses)`` with layouts identical to those two
     functions. Eval has no grad, so blocks are not checkpointed."""
@@ -444,8 +450,10 @@ def sp_pair_eval(
     dense = _dense_sharded_labels(labels, perm, lpad, mesh, axis)
     weights_by_head = _weights_by_head(class_weights)
     use_ohem = num_hard_positive != -1 or num_hard_negative != -1
+    rowm_in = (jnp.ones((B,), jnp.float32) if row_mask is None
+               else row_mask.astype(jnp.float32))
 
-    def shard_fn(a_loc, b_all, weights, lbl):
+    def shard_fn(a_loc, b_all, weights, lbl, rowm):
         from ..ops.losses import ohem_stream_init, ohem_stream_update
 
         s = jax.lax.axis_index(axis)
@@ -466,7 +474,10 @@ def sp_pair_eval(
             rows = rows + s
             ok = (rows <= cols) & (rows < valid) & (cols < valid)
             flat = rows * Ld + cols
-            ok_flat = ok.reshape(1, bs * ncols).astype(jnp.float32)
+            # loss mask includes the per-sample row mask; the spot update
+            # keeps the sample-agnostic ok (decode drops padded rows host-side)
+            okm = ok.reshape(1, bs * ncols) & (rowm > 0)[:, None]
+            okm_flat = okm.astype(jnp.float32)
             pair_flat = pair.reshape(B, bs * ncols, H)
             for hi, name in enumerate(HEAD_NAMES):
                 logits = _head_block(pair_flat, weights, hi)
@@ -476,15 +487,14 @@ def sp_pair_eval(
                 if use_ohem:
                     loss_acc[name] = ohem_stream_update(
                         loss_acc[name], logits, tgt, weights_by_head[name],
-                        jnp.broadcast_to(ok.reshape(1, bs * ncols),
-                                         tgt.shape))
+                        jnp.broadcast_to(okm, tgt.shape))
                 else:
                     from ..ops.losses import (_per_element_ce,
                                               class_weight_lookup)
 
                     ce = _per_element_ce(logits, tgt)
                     w = class_weight_lookup(
-                        weights_by_head[name], tgt) * ok_flat
+                        weights_by_head[name], tgt) * okm_flat
                     loss_acc[0][name] = loss_acc[0][name] + (ce * w).sum()
                     loss_acc[1][name] = loss_acc[1][name] + w.sum()
         spots_out = _finalize_spots(spot_acc, k, kk, topk_method, axis,
@@ -500,7 +510,7 @@ def sp_pair_eval(
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(),
-                  {name: P(None, axis, None) for name in HEAD_NAMES}),
+                  {name: P(None, axis, None) for name in HEAD_NAMES}, P()),
         out_specs=(spot_spec, loss_spec), axis_names={axis},
         check_vma=False)  # see sp_pair_spots note; jit wrap required
-    return jax.jit(fn)(a_rows, b_cols, head_weights, dense)
+    return jax.jit(fn)(a_rows, b_cols, head_weights, dense, rowm_in)

@@ -180,6 +180,9 @@ def make_eval_step(model: PEneoModel, with_loss: bool = False):
                 labels=batch["labels"],
                 also_decode=True,
                 deterministic=True,
+                # excludes the trainer's edge-padded duplicate rows (ragged
+                # final eval batch) from the loss sums — exact eval losses
+                label_row_mask=batch.get("row_mask"),
             )
             return out, losses
         pallas_w = None
@@ -309,7 +312,8 @@ def make_sp_eval_step(model: PEneoModel, mesh, with_loss: bool = False,
             cfg.max_spots_per_head, valid_len=int(pair_in["valid_len"]),
             block_size=sp_block_size, topk_method=cfg.spot_topk,
             num_hard_positive=cfg.peneo_ohem_num_positive,
-            num_hard_negative=cfg.peneo_ohem_num_negative)
+            num_hard_negative=cfg.peneo_ohem_num_negative,
+            row_mask=batch.get("row_mask"))
 
     return eval_step
 

@@ -404,9 +404,9 @@ class PEneoTrainer:
         # eval losses are averaged over the whole eval set (weighted by true
         # batch size; the reference only reports the LAST batch's losses —
         # pipeline/trainer.py:185-200 — a bug we deliberately don't copy). The
-        # final ragged batch is edge-padded for static shapes, so its loss
-        # includes duplicated rows: bias bounded by the padding fraction of
-        # one batch.
+        # final ragged batch is edge-padded for static shapes; a per-row mask
+        # (``row_mask``) excludes the duplicated rows from the loss sums, so
+        # the reported losses are exact (decoded metrics already drop them).
         loss_sums: Dict[str, float] = {}
         loss_weight = 0.0
         t0 = time.time()
@@ -428,10 +428,21 @@ class PEneoTrainer:
                     return _np.pad(x, reps, mode="edge")
 
                 arrays = jax.tree_util.tree_map(_pad, arrays)
+                if batch.labels:
+                    rm = _np.zeros((full,), _np.float32)
+                    rm[:bsz] = 1.0
+                    arrays["row_mask"] = rm
                 dev_batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, self.batch_sharding), arrays)
             else:
                 dev_batch = batch_to_device(batch, self.batch_sharding)
+                if batch.labels:
+                    # constant key keeps the jitted step's pytree (and so the
+                    # compiled executable) identical across full/ragged batches
+                    import numpy as _np
+
+                    dev_batch["row_mask"] = jax.device_put(
+                        _np.ones((full,), _np.float32), self.batch_sharding)
             if batch.labels:
                 if self._eval_step_loss is None:
                     # sp: one fused shard_map pass (sp_pair_eval) yields
