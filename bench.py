@@ -125,19 +125,12 @@ def _random_params(model, ids, bbox, attn, seed=0):
     return jax.tree_util.tree_unflatten(treedef, gen(jax.random.PRNGKey(seed)))
 
 
-def build_forward(model, use_pallas: bool):
+def build_forward(model):
     import jax
 
     def forward(params, ids, bbox, attn):
-        pallas_w = None
-        if use_pallas:
-            from peneo_tpu.models.decoder import HEAD_NAMES
-            from peneo_tpu.ops.pair_head import stack_head_weights
-
-            pallas_w = stack_head_weights(
-                params["peneo_decoder"], HEAD_NAMES, model.dtype)
         return model.apply({"params": params}, ids, bbox, attn,
-                           deterministic=True, pallas_head_weights=pallas_w)
+                           deterministic=True)
 
     return jax.jit(forward)
 
@@ -149,19 +142,22 @@ def main(argv=None):
     p.add_argument("--L", type=int, default=L)
     p.add_argument("--B", type=int, default=B)
     p.add_argument("--iters", type=int, default=N_ITERS)
-    p.add_argument("--pallas", action="store_true",
-                   help="route the pair head through the fused Pallas kernel")
-    p.add_argument("--compare_pair_head", action="store_true",
-                   help="time XLA-blockwise vs Pallas pair head back to back "
-                        "(extra lines go to stderr; JSON line stays last)")
-    p.add_argument("--fused_biacm", action="store_true",
-                   help="route LiLT attention through the fused BiACM kernel")
+    p.add_argument("--fused_biacm", action="store_true", default=None,
+                   help="route LiLT attention through the fused BiACM kernel "
+                        "(default: auto — on for real TPU backends, matching "
+                        "the serving default; measured +7-8%% at L=512)")
+    p.add_argument("--no_fused_biacm", dest="fused_biacm",
+                   action="store_false",
+                   help="force the stock XLA einsum attention path")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
 
     import jax
     import jax.numpy as jnp
+
+    if args.fused_biacm is None:
+        args.fused_biacm = jax.default_backend() == "tpu"
 
     from peneo_tpu.config import LiltConfig, PEneoConfig
     from peneo_tpu.models.peneo import PEneoModel
@@ -177,7 +173,6 @@ def main(argv=None):
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         ).to_dict(),
         max_seq_len=args.L,
-        use_pallas_pair_head=args.pallas,
         use_fused_biacm=args.fused_biacm,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
@@ -192,8 +187,8 @@ def main(argv=None):
     bbox_d = jnp.asarray(bbox.astype(np.int32))
     attn_d = jnp.asarray(attn.astype(np.int32))
 
-    def bench_variant(use_pallas):
-        fwd = build_forward(model, use_pallas)
+    def bench_variant():
+        fwd = build_forward(model)
 
         def run_once():
             return fwd(params, ids_d, bbox_d, attn_d)
@@ -217,16 +212,7 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         return args.B * args.iters / dt
 
-    if args.compare_pair_head:
-        results = {}
-        for use_pallas in (False, True):
-            results[use_pallas] = bench_variant(use_pallas)
-            name = "pallas" if use_pallas else "xla-blockwise"
-            print(f"# pair_head={name} L={args.L} B={args.B}: "
-                  f"{results[use_pallas]:.2f} pages/s", file=sys.stderr)
-        pages_per_sec = results[args.pallas]
-    else:
-        pages_per_sec = bench_variant(args.pallas)
+    pages_per_sec = bench_variant()
 
     suffix = f"_L{args.L}" if args.L != 512 else "_L512"
     print(json.dumps({

@@ -48,6 +48,9 @@ def main(argv=None):
                         "to GIL contention)")
     p.add_argument("--decode_workers", type=int, default=2,
                    help="host-decode threads (kept off the dispatch thread)")
+    p.add_argument("--no_fused_biacm", action="store_true",
+                   help="disable the fused BiACM attention kernel (on by "
+                        "default for LiLT on TPU; +7-8%% serving throughput)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -61,6 +64,7 @@ def main(argv=None):
         dp=args.dp,
         tp=args.tp,
         sp=args.sp,
+        fused_biacm=False if args.no_fused_biacm else None,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

@@ -7,7 +7,8 @@ LayoutLM-family multimodal backbone), redesigned TPU-first:
 - flax.linen functional models (params as pytrees), bf16 compute / fp32 params
 - dense (L, L) pair-label matrices instead of flattened L(L+1)/2 "shaking"
   sequences (XLA-friendly static shapes; semantics identical)
-- blockwise / Pallas pair-head that never materializes (B, L, L, 2H)
+- blockwise pair-head that never materializes (B, L, L, 2H); fused Pallas
+  BiACM attention kernel on the LiLT backbone
 - pjit/shard_map data+tensor parallel training over a jax.sharding.Mesh
 - host-side data plane (tokenization, reading-order packing, label building)
 - orbax checkpointing, optax two-group optimizer (head-LR speedup)

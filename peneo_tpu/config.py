@@ -167,7 +167,6 @@ class PEneoConfig:
     max_seq_len: int = 512          # static padded sequence length incl. CLS/SEP
     pair_block_size: int = 128      # row-block size for the blockwise pair head
     dtype: str = "bfloat16"         # compute dtype for the jitted model
-    use_pallas_pair_head: bool = False
     use_flash_attention: bool = False   # Pallas flash attention (inference / no-attn-dropout)
     # dim-80-aware fused BiACM attention kernel (LiLT; inference only):
     # separate d=64/d=16 score matmuls + shared softmax (ops/biacm_attention)

@@ -158,7 +158,6 @@ class PEneoDecoder(nn.Module):
         deterministic: bool = True,
         return_logits: bool = False,
         also_decode: bool = False,
-        pallas_head_weights=None,  # stacked (w1, b1, w2, b2) → fused kernel
         return_pair_inputs: bool = False,  # expose (a, b) for sp sharding
         label_row_mask: Optional[jnp.ndarray] = None,  # (B,) 1=row in loss
     ):
@@ -292,35 +291,6 @@ class PEneoDecoder(nn.Module):
 
         # inference / eval path
         compact_k = cfg.max_spots_per_head
-        if pallas_head_weights is not None and not return_logits:
-            from ..ops.pair_head import pair_head_infer
-
-            assert cfg.peneo_classifier_num_layers == 2, \
-                "pallas pair head supports the default 2-layer classifiers"
-            # kernel wants L divisible by its tiles; Lp already is for 128
-            Lk = ((Lp + 127) // 128) * 128
-            if Lk != Lp:
-                a = jnp.pad(a, [(0, 0), (0, Lk - Lp), (0, 0)])
-                b_full = jnp.pad(b, [(0, 0), (0, Lk - Lp), (0, 0)])
-            else:
-                b_full = b
-            w1, b1, w2, b2 = pallas_head_weights
-            k_tags, k_scores = pair_head_infer(
-                a.astype(self.dtype), b_full.astype(self.dtype),
-                w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype),
-                # interpret mode lets the CPU test suite execute the kernel
-                interpret=jax.default_backend() == "cpu")
-            out = {}
-            for hi, name in enumerate(HEAD_NAMES):
-                t = k_tags[hi][:, :Ld, :Ld]
-                s = k_scores[hi][:, :Ld, :Ld]
-                if compact_k > 0:
-                    out[name] = compact_spots(t, s, compact_k, cfg.spot_topk)
-                else:
-                    out[name] = {"tags": t, "scores": s}
-            return out
-
         tags = {name: [] for name in HEAD_NAMES}
         scores = {name: [] for name in HEAD_NAMES}
         logits_out = {name: [] for name in HEAD_NAMES} if return_logits else None

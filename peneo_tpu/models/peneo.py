@@ -70,7 +70,6 @@ class PEneoModel(nn.Module):
         deterministic: bool = True,
         return_logits: bool = False,
         also_decode: bool = False,
-        pallas_head_weights=None,
         return_pair_inputs: bool = False,
         label_row_mask: Optional[jnp.ndarray] = None,
     ):
@@ -101,6 +100,5 @@ class PEneoModel(nn.Module):
         decoder = PEneoDecoder(cfg, self.dtype, name="peneo_decoder")
         return decoder(hidden, labels=labels, deterministic=deterministic,
                        return_logits=return_logits, also_decode=also_decode,
-                       pallas_head_weights=pallas_head_weights,
                        return_pair_inputs=return_pair_inputs,
                        label_row_mask=label_row_mask)

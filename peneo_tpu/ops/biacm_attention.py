@@ -41,7 +41,8 @@ def _kernel(qt_ref, kt_ref, vt_ref, ql_ref, kl_ref, vl_ref, bias_ref,
                               preferred_element_type=jnp.float32)
     s_l = jax.lax.dot_general(ql, kl, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    s = s_t * scale_t + s_l * scale_l + bias_ref[0][None, :]
+    # bias block is (1, 1, L); [0] yields (1, L), broadcasting over rows
+    s = s_t * scale_t + s_l * scale_l + bias_ref[0]
     mx = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - mx)
     p = (e / e.sum(axis=-1, keepdims=True)).astype(qt_ref.dtype)
@@ -91,7 +92,11 @@ def biacm_attention(
         in_specs=[
             q_spec(dt), kv_spec(dt), kv_spec(dt),
             q_spec(dl), kv_spec(dl), kv_spec(dl),
-            pl.BlockSpec((1, L), lambda b, h, i: (b, 0),
+            # (B, 1, L) with a full (1, 1, L) block: TPU lowering requires
+            # the last two block dims divisible by (8, 128) OR equal to the
+            # array dims — a (1, L) block over (B, L) violates that (real
+            # Mosaic rejects it; interpret mode does not check)
+            pl.BlockSpec((1, 1, L), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[q_spec(dt), q_spec(dl)],
@@ -104,4 +109,4 @@ def biacm_attention(
             bytes_accessed=(q_t.size + k_t.size + v_t.size) * 2 * 2,
             transcendentals=B * nh * L * L),
         interpret=interpret,
-    )(q_t, k_t, v_t, q_l, k_l, v_l, bias)
+    )(q_t, k_t, v_t, q_l, k_l, v_l, bias[:, None, :])

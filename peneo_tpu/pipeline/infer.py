@@ -121,6 +121,7 @@ class InferenceService:
         dp: int = 1,
         tp: int = 1,
         sp: int = 1,
+        fused_biacm: Optional[bool] = None,
     ) -> None:
         """``dp``/``tp``/``sp`` > 1 serve over a ``jax.sharding.Mesh``: the
         page batch shards over dp chips, the attention/MLP/pair-head kernels
@@ -141,6 +142,17 @@ class InferenceService:
         if max_seq_len:
             self.cfg.max_seq_len = max_seq_len
         self.info = get_backbone_info(self.cfg.backbone_name)
+        # fused BiACM attention (ops/biacm_attention.py) is the serving
+        # default on real TPUs: measured +7-8% end-to-end at L=512
+        # (248.7 -> 265-269 pages/s, docs §8). Auto-off elsewhere — the
+        # interpret-mode fallback exists for correctness tests, not speed.
+        if fused_biacm is None:
+            import jax as _jax
+
+            fused_biacm = (self.info.family == "lilt"
+                           and _jax.default_backend() == "tpu")
+        if fused_biacm:
+            self.cfg.use_fused_biacm = True
         self.max_token_len = min(
             self.info.max_token_len,
             self.cfg.max_seq_len - int(self.info.add_cls_token)
@@ -186,11 +198,6 @@ class InferenceService:
 
             self.image_loader = make_image_loader(self.cfg)
 
-        # cfg.use_pallas_pair_head routes the pair grid through the fused
-        # Pallas kernel (ops/pair_head.py) — stacked head weights come from
-        # the same param tree, so outputs are identical; measured faster only
-        # for long sequences (docs/documentation.md §8)
-        use_pallas = bool(getattr(self.cfg, "use_pallas_pair_head", False))
         # pack the 25 compact-spot output arrays into 2 for the fetch
         # (models/decoder.pack_spots): fewer per-array RTTs on the remote
         # transport. Measured gain is modest at L=512 (the fetch overlaps
@@ -201,8 +208,8 @@ class InferenceService:
         if sp > 1:
             # sequence-parallel serving: the backbone runs under dp/tp GSPMD,
             # then the pair grid is row-sharded over sp via shard_map
-            # (parallel/seq_parallel.py) — takes precedence over the Pallas
-            # kernel (each sp shard uses the XLA blockwise math).
+            # (parallel/seq_parallel.py) — each sp shard uses the XLA
+            # blockwise math.
             assert self.cfg.max_spots_per_head > 0, \
                 "sp serving requires compact spot extraction"
             from ..models.decoder import HEAD_NAMES
@@ -225,16 +232,9 @@ class InferenceService:
                 return pack_spots(out)
         else:
             def _fwd(p, ids, bbox, attn, image):
-                pallas_w = None
-                if use_pallas:
-                    from ..models.decoder import HEAD_NAMES
-                    from ..ops.pair_head import stack_head_weights
-
-                    pallas_w = stack_head_weights(
-                        p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
                 out = self.model.apply(
                     {"params": p}, ids, bbox, attn, image=image,
-                    deterministic=True, pallas_head_weights=pallas_w)
+                    deterministic=True)
                 if self._packed:
                     from ..models.decoder import pack_spots
 

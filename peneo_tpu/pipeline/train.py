@@ -185,13 +185,6 @@ def make_eval_step(model: PEneoModel, with_loss: bool = False):
                 label_row_mask=batch.get("row_mask"),
             )
             return out, losses
-        pallas_w = None
-        if getattr(model.cfg, "use_pallas_pair_head", False):
-            from ..models.decoder import HEAD_NAMES
-            from ..ops.pair_head import stack_head_weights
-
-            pallas_w = stack_head_weights(
-                params["peneo_decoder"], HEAD_NAMES, model.dtype)
         return model.apply(
             {"params": params},
             batch["input_ids"],
@@ -199,7 +192,6 @@ def make_eval_step(model: PEneoModel, with_loss: bool = False):
             batch.get("attention_mask"),
             image=batch.get("image"),
             deterministic=True,
-            pallas_head_weights=pallas_w,
         )
 
     return eval_step

@@ -18,7 +18,7 @@ HEADS = ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
          "line_grouping_h2h", "line_grouping_t2t")
 
 
-def _long_cfg(L, use_pallas=False):
+def _long_cfg(L):
     return PEneoConfig(
         backbone_name="lilt-infoxlm-base",
         backbone_config=LiltConfig(
@@ -29,7 +29,6 @@ def _long_cfg(L, use_pallas=False):
         pair_block_size=128,
         max_seq_len=L,
         max_spots_per_head=128,
-        use_pallas_pair_head=use_pallas,
     )
 
 
@@ -71,10 +70,7 @@ def test_l1024_forward_and_train():
 
 def test_l2048_forward_and_train():
     """4M-cell pair grid: blockwise XLA forward + train step compile and stay
-    finite. (Pallas-kernel identity is covered on multi-tile grids in
-    test_pallas_pair_head.py — interpret-mode execution of the 2048² tile
-    grid is minutes-slow on CPU; on TPU the same code path differs only in
-    grid size.)"""
+    finite."""
     B, L = 1, 2048
     rng = np.random.default_rng(1)
     ids = rng.integers(2, 64, (B, L)).astype(np.int32)

@@ -126,7 +126,6 @@ def main():
                         "labels + steps_per_call batching (trainer.py), so "
                         "wall numbers here overstate per-step cost; use the "
                         "trainer's own throughput log for honest steps/s")
-    p.add_argument("--pallas", action="store_true")
     p.add_argument("--logdir", default="/tmp/peneo_profile")
     args = p.parse_args()
 
@@ -146,7 +145,6 @@ def main():
             pad_token_id=1, hidden_dropout_prob=0.0,
             attention_probs_dropout_prob=0.0).to_dict(),
         max_seq_len=args.L,
-        use_pallas_pair_head=args.pallas,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -176,7 +174,7 @@ def main():
             state, m = step(state, batch)
             return float(jax.device_get(m["total"]))
     else:
-        fwd = bench_mod.build_forward(model, args.pallas)
+        fwd = bench_mod.build_forward(model)
 
         def run():
             return jax.device_get(fwd(params, ids, bbox, attn))
