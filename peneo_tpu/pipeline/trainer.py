@@ -142,11 +142,21 @@ class PEneoTrainer:
             self._train_step = jax.jit(base_step, donate_argnums=(0,))
         else:
             self._train_step = T.jit_train_step(self.model, self.optimizer)
+        # metric evals use exact top-k spot extraction: approx_max_k's 1%
+        # recall tail is harmless on trained models (spots score ~1.0 vs the
+        # empty filler) but can silently drop real spots on untrained /
+        # high-entropy ones — eval cadence is rare enough that the ~13
+        # ms/batch exact sort is free determinism (serving keeps "approx")
+        import dataclasses as _dc
+
+        self._eval_model = (model if cfg.spot_topk == "exact"
+                            else type(model)(_dc.replace(cfg, spot_topk="exact"),
+                                             dtype=model.dtype))
         if args.sp > 1:
             self._eval_step = jax.jit(
-                T.make_sp_eval_step(self.model, self.mesh))
+                T.make_sp_eval_step(self._eval_model, self.mesh))
         else:
-            self._eval_step = jax.jit(T.make_eval_step(self.model))
+            self._eval_step = jax.jit(T.make_eval_step(self._eval_model))
         # losses + decode outputs from one forward (also_decode); compiled
         # lazily on first labeled eval
         self._eval_step_loss = None
@@ -448,10 +458,11 @@ class PEneoTrainer:
                     # sp: one fused shard_map pass (sp_pair_eval) yields
                     # spots + losses, mirroring the module path's also_decode
                     self._eval_step_loss = jax.jit(
-                        T.make_sp_eval_step(self.model, self.mesh,
+                        T.make_sp_eval_step(self._eval_model, self.mesh,
                                             with_loss=True)
                         if args.sp > 1
-                        else T.make_eval_step(self.model, with_loss=True))
+                        else T.make_eval_step(self._eval_model,
+                                              with_loss=True))
                 out, losses = self._eval_step_loss(params, dev_batch)
                 losses = jax.device_get(losses)
                 for kk, v in losses.items():
