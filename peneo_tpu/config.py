@@ -171,6 +171,9 @@ class PEneoConfig:
     # dim-80-aware fused BiACM attention kernel (LiLT; inference only):
     # separate d=64/d=16 score matmuls + shared softmax (ops/biacm_attention)
     use_fused_biacm: bool = False
+    # training variant (custom VJP + in-kernel hardware-PRNG dropout);
+    # TPU-only when attention dropout is active
+    use_fused_biacm_train: bool = False
     gradient_checkpointing: bool = False  # remat backbone layers (memory vs FLOPs)
     # inference: ship only the top-k nonzero triu spots per head to host
     # (0 = dense (L, L) tag/score maps, used by tests/parity)

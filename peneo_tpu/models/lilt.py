@@ -162,6 +162,7 @@ class LiltSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
     fused_biacm: bool = False
+    fused_biacm_train: bool = False
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -186,6 +187,31 @@ class LiltSelfAttention(nn.Module):
 
         no_attn_dropout = (deterministic
                            or cfg.attention_probs_dropout_prob == 0.0)
+        rate = 0.0 if deterministic else float(cfg.attention_probs_dropout_prob)
+        if (self.fused_biacm_train and not deterministic and L % 128 == 0
+                and (rate == 0.0 or jax.default_backend() == "tpu")):
+            # differentiable fused kernel (custom VJP); dropout masks are
+            # drawn by the TPU hardware PRNG inside the kernels, so the
+            # (B, nh, L, L) prob/mask tensors never exist in HBM. CPU runs
+            # only reach here with rate==0 (no hardware PRNG off-TPU).
+            from ..ops.biacm_attention import biacm_attention_train
+
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx_t, ctx_l = biacm_attention_train(
+                q_t.transpose(0, 2, 1, 3), k_t.transpose(0, 2, 1, 3),
+                v_t.transpose(0, 2, 1, 3), q_l.transpose(0, 2, 1, 3),
+                k_l.transpose(0, 2, 1, 3), v_l.transpose(0, 2, 1, 3),
+                attn_bias[:, 0, 0, :].astype(jnp.float32), seed,
+                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5,
+                rate=rate, interpret=jax.default_backend() == "cpu")
+            return (ctx_t.transpose(0, 2, 1, 3).reshape(B, L, nh * dh),
+                    ctx_l.transpose(0, 2, 1, 3).reshape(B, L, nh * dh_l))
+
         if self.fused_biacm and no_attn_dropout and L % 128 == 0:
             # dim-80-aware fused kernel: separate d=64/d=16 score matmuls +
             # shared softmax, no (L, L) HBM roundtrip (ops/biacm_attention)
@@ -275,6 +301,7 @@ class LiltLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
     fused_biacm: bool = False
+    fused_biacm_train: bool = False
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -282,6 +309,7 @@ class LiltLayer(nn.Module):
         lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
         ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, self.flash,
                                          self.fused_biacm,
+                                         self.fused_biacm_train,
                                          name="self_attn")(
             text, layout, attn_bias, seg_mask, deterministic)
         text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
@@ -303,6 +331,7 @@ class LiltModel(nn.Module):
     remat_layers: bool = False  # gradient checkpointing per layer
     flash_attention: bool = False
     fused_biacm: bool = False  # dim-80-aware fused BiACM kernel (inference)
+    fused_biacm_train: bool = False  # custom-VJP variant w/ in-kernel dropout
 
     @nn.compact
     def __call__(
@@ -329,6 +358,7 @@ class LiltModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             text, layout = layer_cls(cfg, self.dtype, self.flash_attention,
                                      self.fused_biacm,
+                                     self.fused_biacm_train,
                                      name=f"layer_{i}")(
                 text, layout, attn_bias, seg_mask, deterministic)
 

@@ -32,6 +32,8 @@ def build_backbone(cfg: PEneoConfig, dtype):
         return LiltModel(cfg.backbone(), dtype=dtype, remat_layers=remat,
                          flash_attention=cfg.use_flash_attention,
                          fused_biacm=getattr(cfg, "use_fused_biacm", False),
+                         fused_biacm_train=getattr(
+                             cfg, "use_fused_biacm_train", False),
                          name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model
