@@ -79,6 +79,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_model", type=str, default="small",
                    choices=["tiny", "small", "base"],
                    help="backbone size for --synthetic_data runs")
+    p.add_argument("--fused_biacm_train", action="store_true", default=None,
+                   help="train LiLT attention with the fused BiACM kernel "
+                        "(custom VJP, in-kernel hardware-PRNG dropout; "
+                        "measured 1.9x the XLA attention fwd+bwd). Default: "
+                        "auto — on for single-device TPU LiLT runs with "
+                        "max_seq_len %% 128 == 0")
+    p.add_argument("--no_fused_biacm_train", dest="fused_biacm_train",
+                   action="store_false")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="override the JAX platform via jax.config (use with "
@@ -174,6 +182,22 @@ def setup(args, dataset_cls_name="rfund"):
         params = _load_params(args.model_name_or_path, cfg)
 
     from peneo_tpu.models.peneo import PEneoModel
+
+    fused_train = args.fused_biacm_train
+    if fused_train is None:  # auto: single-chip TPU LiLT (the pallas_call
+        # is not GSPMD-partitionable, so multi-device meshes keep XLA attn)
+        import jax
+
+        fused_train = (jax.default_backend() == "tpu"
+                       and len(jax.devices()) == 1
+                       and (args.dp or 1) * args.tp * args.sp == 1
+                       and get_family(cfg) == "lilt"
+                       and args.max_seq_len % 128 == 0)
+    cfg.use_fused_biacm_train = bool(fused_train)
+    if fused_train:
+        # same gate ⇒ eval/serving forwards (deterministic) also take the
+        # fused kernel, via its no-dropout inference variant
+        cfg.use_fused_biacm = True
 
     model = PEneoModel(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
