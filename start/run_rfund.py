@@ -79,6 +79,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_model", type=str, default="small",
                    choices=["tiny", "small", "base"],
                    help="backbone size for --synthetic_data runs")
+    p.add_argument("--synthetic_vocab", type=int, default=None,
+                   help="override the backbone vocab_size for "
+                        "--synthetic_data runs (e.g. 250002 to measure "
+                        "training cost at the real XLM vocab; the toy "
+                        "tokenizer's ids stay valid)")
     p.add_argument("--fused_biacm_train", action="store_true", default=None,
                    help="train LiLT attention with the fused BiACM kernel "
                         "(custom VJP, in-kernel hardware-PRNG dropout; "
@@ -134,6 +139,7 @@ def setup(args, dataset_cls_name="rfund"):
             if not os.path.exists(os.path.join(data_dir, "train.txt")):
                 write_sibr_dataset(data_dir, n_train=64, n_test=16)
         tokenizer = ToyTokenizer()
+        vocab = args.synthetic_vocab or tokenizer.vocab_size
         from peneo_tpu.data.fetchers import fetch_xlm
 
         fetcher = fetch_xlm
@@ -142,7 +148,7 @@ def setup(args, dataset_cls_name="rfund"):
             from peneo_tpu.config import LayoutLMv3Config
 
             backbone_config = LayoutLMv3Config(
-                vocab_size=tokenizer.vocab_size, pad_token_id=0,
+                vocab_size=vocab, pad_token_id=0,
                 coordinate_size=preset["hidden_size"] // 6,
                 shape_size=preset["hidden_size"] // 6,
                 input_size=64, **preset).to_dict()
@@ -152,7 +158,7 @@ def setup(args, dataset_cls_name="rfund"):
                 preset["hidden_size"] - 4 * backbone_config["coordinate_size"]) // 2
         else:
             backbone_config = LiltConfig(
-                vocab_size=tokenizer.vocab_size, pad_token_id=0,
+                vocab_size=vocab, pad_token_id=0,
                 **preset).to_dict()
         if args.model_name_or_path:
             # synthetic DATA with a saved model (e.g. eval a finished
