@@ -190,13 +190,18 @@ def setup(args, dataset_cls_name="rfund"):
     from peneo_tpu.models.peneo import PEneoModel
 
     fused_train = args.fused_biacm_train
-    if fused_train is None:  # auto: single-chip TPU LiLT (the pallas_call
-        # is not GSPMD-partitionable, so multi-device meshes keep XLA attn)
+    if fused_train is None:
+        # auto: TPU LiLT runs whose dp×tp collapse to 1. The pallas_call is
+        # not GSPMD-partitionable, so dp/tp meshes would all-gather around
+        # it — those keep XLA attention. sp>1 is safe AND where the kernel
+        # wins most (2.7x at L=2048): the backbone is replicated across sp
+        # by design, and the seeded hardware PRNG draws identical masks on
+        # every sp chip, so the replicated activations stay consistent.
         import jax
 
+        dp = args.dp or max(1, len(jax.devices()) // (args.tp * args.sp))
         fused_train = (jax.default_backend() == "tpu"
-                       and len(jax.devices()) == 1
-                       and (args.dp or 1) * args.tp * args.sp == 1
+                       and dp * args.tp == 1
                        and get_family(cfg) == "lilt"
                        and args.max_seq_len % 128 == 0)
     cfg.use_fused_biacm_train = bool(fused_train)

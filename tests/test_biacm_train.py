@@ -196,3 +196,55 @@ def test_lilt_train_step_with_fused_train_kernel_rate0():
         jax.tree_util.tree_map(
             lambda a, b: np.allclose(a, b, rtol=5e-4, atol=5e-4), g0, g1))
     assert all(chex), "fused-train grads diverge from XLA path at rate=0"
+
+
+def test_fused_train_kernel_composes_with_remat():
+    """gradient_checkpointing (nn.remat over LiltLayer) replays the fused
+    kernel's forward during backward; the custom VJP must survive that and
+    produce the same grads as the non-remat fused path."""
+    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.models.peneo import PEneoModel
+
+    def cfg(remat):
+        return PEneoConfig(
+            backbone_name="lilt-infoxlm-base",
+            backbone_config=LiltConfig(
+                vocab_size=64, hidden_size=48, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+                max_position_embeddings=512, max_2d_position_embeddings=1024,
+                channel_shrink_ratio=4, pad_token_id=1,
+                hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0).to_dict(),
+            max_seq_len=128, max_spots_per_head=16,
+            use_fused_biacm_train=True, gradient_checkpointing=remat)
+
+    rng = np.random.default_rng(29)
+    ids = jnp.asarray(rng.integers(2, 64, (2, 128)).astype(np.int32))
+    bbox = jnp.asarray(rng.integers(0, 1000, (2, 128, 4)).astype(np.int32))
+    attn = jnp.ones((2, 128), jnp.int32)
+    labels = {
+        h: jnp.zeros((2, 127, 127), jnp.int32)
+        for h in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
+                  "line_grouping_h2h", "line_grouping_t2t")
+    }
+
+    def grads(remat):
+        model = PEneoModel(cfg(remat), dtype=jnp.float32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            ids, bbox, attn, deterministic=True)["params"]
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, ids, bbox, attn,
+                              labels=labels, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(7)})
+            return out["total"]
+
+        return jax.grad(loss_fn)(params)
+
+    g0 = grads(False)
+    g1 = grads(True)
+    ok = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda a, b: np.allclose(a, b, rtol=1e-5, atol=1e-5), g0, g1))
+    assert all(ok), "remat changes fused-train grads"

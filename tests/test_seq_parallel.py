@@ -334,3 +334,60 @@ def test_sp_eval_step_matches_module_eval():
             gi, gt = spots(sp_out[name])
             np.testing.assert_array_equal(ri, gi)
             np.testing.assert_array_equal(rt, gt)
+
+
+def test_sp_train_step_with_fused_biacm_train():
+    """sp mesh (dp=tp=1) + use_fused_biacm_train: the backbone is replicated
+    across sp, so the un-partitionable fused-attention pallas_call runs
+    replicated with no inserted collectives and the sp train step must match
+    the single-device fused train step loss-for-loss (rate=0 on CPU)."""
+    rng = np.random.default_rng(3)
+    Lb = 128
+    input_ids = rng.integers(2, 64, (B, Lb)).astype(np.int32)
+    attn = np.ones((B, Lb), np.int32)
+    x0 = rng.integers(0, 900, (B, Lb))
+    y0 = rng.integers(0, 900, (B, Lb))
+    bbox = np.stack([x0, y0, x0 + 50, y0 + 20], -1).astype(np.int32)
+    Ld = Lb - 1
+    labels = {}
+    for name in HEAD_NAMES:
+        c = 2 if name == "line_extraction" else 3
+        spots_b = [[(int(i), int(rng.integers(i, Ld)), int(rng.integers(1, c)))
+                    for i in rng.integers(0, Ld, 3)] for _ in range(B)]
+        labels[name] = batch_spots_to_matrix(spots_b, Ld)
+    batch = {"input_ids": input_ids, "bbox": bbox, "attention_mask": attn,
+             "labels": labels}
+
+    tiny = dict(TINY, max_position_embeddings=256)
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig.from_dict(tiny).to_dict(),
+        pair_block_size=8, peneo_downstream_speedup_ratio=30.0,
+        peneo_category_weights=[1.0, 10.0, 10.0],
+        max_seq_len=128, use_fused_biacm_train=True)
+    model, _ = _init(cfg, batch)
+    opt = T.make_optimizer(None, lr=1e-3, total_steps=10,
+                           downstream_speedup_ratio=30.0)
+
+    hists = {}
+    for kind in ("single", "sp"):
+        if kind == "single":
+            mesh = pmesh.make_mesh(dp=1, tp=1, sp=1,
+                                   devices=jax.devices()[:1])
+        else:
+            mesh = pmesh.make_mesh(dp=1, tp=1, sp=2,
+                                   devices=jax.devices()[:2])
+        bsh = pmesh.batch_sharding(mesh)
+        dev_batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, bsh), batch)
+        state = T.create_train_state(cfg, model, opt, batch, seed=0)
+        shardings = pmesh.param_shardings(state.params, mesh)
+        state = T.shard_state(state, mesh, shardings)
+        step_fn = (T.jit_train_step(model, opt) if kind == "single"
+                   else T.make_sp_train_step(model, opt, mesh))
+        hist = []
+        for _ in range(2):
+            state, metrics = step_fn(state, dev_batch)
+            hist.append(float(metrics["total"]))
+        hists[kind] = hist
+    np.testing.assert_allclose(hists["sp"], hists["single"], rtol=1e-4)
