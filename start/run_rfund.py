@@ -114,6 +114,30 @@ SYNTHETIC_MODEL_PRESETS = {
 }
 
 
+def resolve_fused_biacm_train(args, family: str,
+                              backend=None, n_devices=None) -> bool:
+    """Tri-state --fused_biacm_train → bool.
+
+    Auto (None): on for TPU LiLT runs whose dp×tp collapse to 1 and whose
+    max_seq_len is a multiple of 128 (the kernel's query-tile size). The
+    pallas_call is not GSPMD-partitionable, so dp/tp meshes would all-gather
+    around it — those keep XLA attention. sp>1 is allowed AND is where the
+    kernel wins most (2.7× at L=2048): the backbone is replicated across sp
+    by design, and the seeded hardware PRNG draws identical masks on every
+    sp chip, so the replicated activations stay consistent
+    (tests/test_seq_parallel.py::test_sp_train_step_with_fused_biacm_train).
+    """
+    if args.fused_biacm_train is not None:
+        return bool(args.fused_biacm_train)
+    import jax
+
+    backend = backend or jax.default_backend()
+    n_devices = n_devices or len(jax.devices())
+    dp = args.dp or max(1, n_devices // (args.tp * args.sp))
+    return (backend == "tpu" and dp * args.tp == 1 and family == "lilt"
+            and args.max_seq_len % 128 == 0)
+
+
 def setup(args, dataset_cls_name="rfund"):
     """Shared run_rfund/run_sibr setup. Returns (cfg, model, datasets, collator,
     params)."""
@@ -189,22 +213,8 @@ def setup(args, dataset_cls_name="rfund"):
 
     from peneo_tpu.models.peneo import PEneoModel
 
-    fused_train = args.fused_biacm_train
-    if fused_train is None:
-        # auto: TPU LiLT runs whose dp×tp collapse to 1. The pallas_call is
-        # not GSPMD-partitionable, so dp/tp meshes would all-gather around
-        # it — those keep XLA attention. sp>1 is safe AND where the kernel
-        # wins most (2.7x at L=2048): the backbone is replicated across sp
-        # by design, and the seeded hardware PRNG draws identical masks on
-        # every sp chip, so the replicated activations stay consistent.
-        import jax
-
-        dp = args.dp or max(1, len(jax.devices()) // (args.tp * args.sp))
-        fused_train = (jax.default_backend() == "tpu"
-                       and dp * args.tp == 1
-                       and get_family(cfg) == "lilt"
-                       and args.max_seq_len % 128 == 0)
-    cfg.use_fused_biacm_train = bool(fused_train)
+    cfg.use_fused_biacm_train = fused_train = resolve_fused_biacm_train(
+        args, get_family(cfg))
     if fused_train:
         # same gate ⇒ eval/serving forwards (deterministic) also take the
         # fused kernel, via its no-dropout inference variant
