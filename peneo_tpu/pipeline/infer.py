@@ -146,11 +146,15 @@ class InferenceService:
         # default on real TPUs: measured +7-8% end-to-end at L=512
         # (248.7 -> 265-269 pages/s, docs §8). Auto-off elsewhere — the
         # interpret-mode fallback exists for correctness tests, not speed.
+        # dp/tp meshes keep XLA attention: GSPMD cannot partition the
+        # pallas_call and would all-gather around it (sp is fine — the
+        # backbone is replicated across sp).
         if fused_biacm is None:
             import jax as _jax
 
             fused_biacm = (self.info.family == "lilt"
-                           and _jax.default_backend() == "tpu")
+                           and _jax.default_backend() == "tpu"
+                           and dp * tp == 1)
         if fused_biacm:
             self.cfg.use_fused_biacm = True
         self.max_token_len = min(
