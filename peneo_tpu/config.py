@@ -121,6 +121,10 @@ class LayoutLMv2Config:
     max_rel_2d_pos: int = 256
     fast_qkv: bool = True
     image_feature_pool_shape: List[int] = field(default_factory=lambda: [7, 7, 256])
+    # visual-tower geometry (detectron2 layoutlmv2 = ResNeXt-101 (3,4,23,3)
+    # on 224px inputs; lighter settings for synthetic/CI runs)
+    visual_depths: List[int] = field(default_factory=lambda: [3, 4, 23, 3])
+    input_size: int = 224
     # detectron2 pixel normalization (BGR order, matching the BGR 0-255 input
     # from data/image_processing.layoutlmv2_preprocess)
     pixel_mean: List[float] = field(

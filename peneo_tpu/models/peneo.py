@@ -43,7 +43,9 @@ def build_backbone(cfg: PEneoConfig, dtype):
     if fam == "layoutlmv2":
         from .layoutlmv2 import LayoutLMv2Model
 
-        return LayoutLMv2Model(cfg.backbone(), dtype=dtype, remat_layers=remat,
+        bc = cfg.backbone()
+        return LayoutLMv2Model(bc, dtype=dtype, remat_layers=remat,
+                               visual_depths=tuple(bc.visual_depths),
                                name="backbone")
     raise NotImplementedError(f"backbone family {fam}")
 

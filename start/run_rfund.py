@@ -180,6 +180,20 @@ def setup(args, dataset_cls_name="rfund"):
             backbone_config["coordinate_size"] = preset["hidden_size"] // 6
             backbone_config["shape_size"] = (
                 preset["hidden_size"] - 4 * backbone_config["coordinate_size"]) // 2
+        elif info.family == "layoutlmv2":
+            from peneo_tpu.config import LayoutLMv2Config
+
+            h = preset["hidden_size"]
+            c = h // 6
+            full = args.synthetic_model == "base"
+            backbone_config = LayoutLMv2Config(
+                vocab_size=vocab, pad_token_id=0,
+                # 4 coordinate + 2 shape embeds concat to hidden_size
+                coordinate_size=c, shape_size=(h - 4 * c) // 2,
+                visual_depths=[3, 4, 23, 3] if full else [1, 1, 1, 1],
+                # stride-4 p2 must tile into the 7x7 pool grid: 56 -> 14
+                input_size=224 if full else 56,
+                **preset).to_dict()
         else:
             backbone_config = LiltConfig(
                 vocab_size=vocab, pad_token_id=0,
