@@ -163,6 +163,9 @@ class LiltSelfAttention(nn.Module):
     flash: bool = False
     fused_biacm: bool = False
     fused_biacm_train: bool = False
+    # a (dp, tp[, sp]) jax.sharding.Mesh routes the fused kernels through
+    # shard_map (GSPMD cannot partition a pallas_call); None = single-device
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -194,7 +197,7 @@ class LiltSelfAttention(nn.Module):
             # drawn by the TPU hardware PRNG inside the kernels, so the
             # (B, nh, L, L) prob/mask tensors never exist in HBM. CPU runs
             # only reach here with rate==0 (no hardware PRNG off-TPU).
-            from ..ops.biacm_attention import biacm_attention_train
+            from ..ops import biacm_attention as ba
 
             if rate > 0.0:
                 seed = jax.random.randint(
@@ -202,28 +205,39 @@ class LiltSelfAttention(nn.Module):
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             else:
                 seed = jnp.zeros((1,), jnp.int32)
-            ctx_t, ctx_l = biacm_attention_train(
+            args = (
                 q_t.transpose(0, 2, 1, 3), k_t.transpose(0, 2, 1, 3),
                 v_t.transpose(0, 2, 1, 3), q_l.transpose(0, 2, 1, 3),
                 k_l.transpose(0, 2, 1, 3), v_l.transpose(0, 2, 1, 3),
                 attn_bias[:, 0, 0, :].astype(jnp.float32), seed,
-                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5,
-                rate=rate, interpret=jax.default_backend() == "cpu")
+                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5)
+            interp = jax.default_backend() == "cpu"
+            if self.mesh is not None and ba._dp_tp(self.mesh) > 1:
+                ctx_t, ctx_l = ba.biacm_attention_train_sharded(
+                    *args, mesh=self.mesh, rate=rate, interpret=interp)
+            else:
+                ctx_t, ctx_l = ba.biacm_attention_train(
+                    *args, rate=rate, interpret=interp)
             return (ctx_t.transpose(0, 2, 1, 3).reshape(B, L, nh * dh),
                     ctx_l.transpose(0, 2, 1, 3).reshape(B, L, nh * dh_l))
 
         if self.fused_biacm and no_attn_dropout and L % 128 == 0:
             # dim-80-aware fused kernel: separate d=64/d=16 score matmuls +
             # shared softmax, no (L, L) HBM roundtrip (ops/biacm_attention)
-            from ..ops.biacm_attention import biacm_attention
+            from ..ops import biacm_attention as ba
 
-            ctx_t, ctx_l = biacm_attention(
+            args = (
                 q_t.transpose(0, 2, 1, 3), k_t.transpose(0, 2, 1, 3),
                 v_t.transpose(0, 2, 1, 3), q_l.transpose(0, 2, 1, 3),
                 k_l.transpose(0, 2, 1, 3), v_l.transpose(0, 2, 1, 3),
                 attn_bias[:, 0, 0, :].astype(jnp.float32),
-                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5,
-                interpret=jax.default_backend() == "cpu")
+                1.0 / float(dh) ** 0.5, 1.0 / float(dh_l) ** 0.5)
+            interp = jax.default_backend() == "cpu"
+            if self.mesh is not None and ba._dp_tp(self.mesh) > 1:
+                ctx_t, ctx_l = ba.biacm_attention_sharded(
+                    *args, mesh=self.mesh, interpret=interp)
+            else:
+                ctx_t, ctx_l = ba.biacm_attention(*args, interpret=interp)
             return (ctx_t.transpose(0, 2, 1, 3).reshape(B, L, nh * dh),
                     ctx_l.transpose(0, 2, 1, 3).reshape(B, L, nh * dh_l))
 
@@ -302,6 +316,7 @@ class LiltLayer(nn.Module):
     flash: bool = False
     fused_biacm: bool = False
     fused_biacm_train: bool = False
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -310,6 +325,7 @@ class LiltLayer(nn.Module):
         ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, self.flash,
                                          self.fused_biacm,
                                          self.fused_biacm_train,
+                                         self.mesh,
                                          name="self_attn")(
             text, layout, attn_bias, seg_mask, deterministic)
         text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
@@ -332,6 +348,7 @@ class LiltModel(nn.Module):
     flash_attention: bool = False
     fused_biacm: bool = False  # dim-80-aware fused BiACM kernel (inference)
     fused_biacm_train: bool = False  # custom-VJP variant w/ in-kernel dropout
+    mesh: Optional[object] = None  # shard_map the kernels over (dp, tp)
 
     @nn.compact
     def __call__(
@@ -359,6 +376,7 @@ class LiltModel(nn.Module):
             text, layout = layer_cls(cfg, self.dtype, self.flash_attention,
                                      self.fused_biacm,
                                      self.fused_biacm_train,
+                                     self.mesh,
                                      name=f"layer_{i}")(
                 text, layout, attn_bias, seg_mask, deterministic)
 

@@ -25,7 +25,7 @@ from .decoder import PEneoDecoder
 from .lilt import LiltModel
 
 
-def build_backbone(cfg: PEneoConfig, dtype):
+def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
     fam = cfg.backbone_family()
     remat = cfg.gradient_checkpointing
     if fam == "lilt":
@@ -34,6 +34,7 @@ def build_backbone(cfg: PEneoConfig, dtype):
                          fused_biacm=getattr(cfg, "use_fused_biacm", False),
                          fused_biacm_train=getattr(
                              cfg, "use_fused_biacm_train", False),
+                         mesh=mesh,
                          name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model
@@ -62,6 +63,10 @@ FAMILY_FLAGS = {
 class PEneoModel(nn.Module):
     cfg: PEneoConfig
     dtype: jnp.dtype = jnp.float32
+    # (dp, tp[, sp]) jax.sharding.Mesh: when set AND dp×tp > 1, the fused
+    # BiACM pallas kernels run under shard_map (batch over dp, heads over
+    # tp) instead of being gated off — GSPMD cannot partition a custom call
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -80,7 +85,7 @@ class PEneoModel(nn.Module):
         cfg = self.cfg
         fam = cfg.backbone_family()
         flags = FAMILY_FLAGS[fam]
-        backbone = build_backbone(cfg, self.dtype)
+        backbone = build_backbone(cfg, self.dtype, mesh=self.mesh)
 
         if fam == "lilt":
             out = backbone(input_ids, bbox, attention_mask, deterministic=deterministic)

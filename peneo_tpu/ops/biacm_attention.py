@@ -127,6 +127,83 @@ def biacm_attention(
     )(q_t, k_t, v_t, q_l, k_l, v_l, bias[:, None, :])
 
 
+def _dp_tp(mesh) -> int:
+    return mesh.shape.get("dp", 1) * mesh.shape.get("tp", 1)
+
+
+def biacm_attention_sharded(
+    q_t, k_t, v_t, q_l, k_l, v_l, bias, scale_t, scale_l, *,
+    mesh, tile_q: int = 128, interpret: bool = False,
+):
+    """``biacm_attention`` under a (dp, tp[, sp]) mesh via ``shard_map``.
+
+    GSPMD cannot partition a ``pallas_call`` (it would all-gather the
+    operands around the custom call), but attention is independent per
+    (batch, head): shard_map splits the batch over ``dp`` and the heads
+    over ``tp`` and runs the kernel on each chip's local block with zero
+    collectives. Axes the specs do not mention (``sp``) replicate the
+    computation, matching the backbone's replicated-over-sp design
+    (parallel/seq_parallel.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    B, nh = q_t.shape[:2]
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and nh % tp == 0, (B, nh, dp, tp)
+    d_ax = "dp" if "dp" in mesh.axis_names else None
+    t_ax = "tp" if "tp" in mesh.axis_names else None
+    spec = P(d_ax, t_ax, None, None)
+
+    def local(qt, kt, vt, ql, kl, vl, b):
+        return biacm_attention(qt, kt, vt, ql, kl, vl, b, scale_t, scale_l,
+                               tile_q=tile_q, interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 6 + (P(d_ax, None),),
+        out_specs=(spec, spec), check_vma=False,
+    )(q_t, k_t, v_t, q_l, k_l, v_l, bias)
+
+
+def biacm_attention_train_sharded(
+    q_t, k_t, v_t, q_l, k_l, v_l, bias, seed, scale_t, scale_l, *,
+    mesh, rate: float = 0.0, tile_q: int = 128, interpret: bool = False,
+):
+    """``biacm_attention_train`` under a (dp, tp[, sp]) mesh via shard_map.
+
+    Differentiation passes through shard_map into the custom VJP; the
+    backward kernel runs per-shard with the same specs. The scalar dropout
+    seed is decorrelated per (dp, tp) shard — each shard's kernel grid
+    restarts its cell indices at 0, so without the offset two dp shards
+    would draw IDENTICAL masks for different pages. ``sp`` shards keep the
+    same seed on purpose: the backbone is replicated across sp and every
+    sp chip must draw the same masks to stay consistent."""
+    from jax.sharding import PartitionSpec as P
+
+    B, nh = q_t.shape[:2]
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    assert B % dp == 0 and nh % tp == 0, (B, nh, dp, tp)
+    d_ax = "dp" if "dp" in mesh.axis_names else None
+    t_ax = "tp" if "tp" in mesh.axis_names else None
+    spec = P(d_ax, t_ax, None, None)
+
+    def local(qt, kt, vt, ql, kl, vl, b, s):
+        shard = jnp.int32(0)
+        if "dp" in mesh.axis_names:
+            shard = shard + jax.lax.axis_index("dp") * tp
+        if "tp" in mesh.axis_names:
+            shard = shard + jax.lax.axis_index("tp")
+        s = s + (shard * jnp.int32(1000003))[None]
+        return biacm_attention_train(qt, kt, vt, ql, kl, vl, b, s,
+                                     scale_t, scale_l, rate=rate,
+                                     tile_q=tile_q, interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 6 + (P(d_ax, None), P()),
+        out_specs=(spec, spec), check_vma=False,
+    )(q_t, k_t, v_t, q_l, k_l, v_l, bias, seed)
+
+
 # ---------------------------------------------------------------------------
 # Training path: custom-VJP fused BiACM attention with in-kernel dropout.
 # ---------------------------------------------------------------------------

@@ -146,15 +146,14 @@ class InferenceService:
         # default on real TPUs: measured +7-8% end-to-end at L=512
         # (248.7 -> 265-269 pages/s, docs §8). Auto-off elsewhere — the
         # interpret-mode fallback exists for correctness tests, not speed.
-        # dp/tp meshes keep XLA attention: GSPMD cannot partition the
-        # pallas_call and would all-gather around it (sp is fine — the
-        # backbone is replicated across sp).
+        # Under dp/tp meshes the kernel runs via shard_map (batch over dp,
+        # heads over tp — attention is independent per (batch, head), so
+        # the per-chip blocks need zero collectives; models/lilt.py).
         if fused_biacm is None:
             import jax as _jax
 
             fused_biacm = (self.info.family == "lilt"
-                           and _jax.default_backend() == "tpu"
-                           and dp * tp == 1)
+                           and _jax.default_backend() == "tpu")
         if fused_biacm:
             self.cfg.use_fused_biacm = True
         self.max_token_len = min(
@@ -171,12 +170,6 @@ class InferenceService:
         self.tokenizer = tokenizer
         self.fetcher = self.info.tokenizer_fetcher
 
-        self.model = PEneoModel(
-            self.cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
-        params = load_params(model_name_or_path, self.cfg)
-        if params is None:
-            raise FileNotFoundError(
-                f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
         self.mesh = None
         self.batch_sharding = None
         self.sp = sp
@@ -187,6 +180,14 @@ class InferenceService:
             self.mesh = pmesh.make_mesh(dp=dp, tp=tp, sp=sp,
                                         devices=jax.devices()[:dp * tp * sp])
             self.batch_sharding = pmesh.batch_sharding(self.mesh)
+        self.model = PEneoModel(
+            self.cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            mesh=self.mesh if dp * tp > 1 else None)
+        params = load_params(model_name_or_path, self.cfg)
+        if params is None:
+            raise FileNotFoundError(
+                f"no params.msgpack / pytorch_model.bin under {model_name_or_path}")
+        if dp * tp * sp > 1:
             shardings = pmesh.param_shardings(params, self.mesh)
             self.params = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(jnp.asarray(x), s),

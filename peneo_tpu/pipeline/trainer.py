@@ -120,6 +120,12 @@ class PEneoTrainer:
             jax.config.update("jax_default_prng_impl", "rbg")
         self.mesh = pmesh.make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
+        if (self.mesh.shape["dp"] * self.mesh.shape["tp"] > 1
+                and (getattr(cfg, "use_fused_biacm", False)
+                     or getattr(cfg, "use_fused_biacm_train", False))):
+            # fused BiACM pallas kernels under dp/tp run via shard_map
+            # (models/lilt.py); the module needs the mesh to do that
+            self.model = model = self.model.clone(mesh=self.mesh)
 
         self.optimizer = T.make_optimizer(
             None,
@@ -150,8 +156,8 @@ class PEneoTrainer:
         import dataclasses as _dc
 
         self._eval_model = (model if cfg.spot_topk == "exact"
-                            else type(model)(_dc.replace(cfg, spot_topk="exact"),
-                                             dtype=model.dtype))
+                            else model.clone(cfg=_dc.replace(
+                                cfg, spot_topk="exact")))
         if args.sp > 1:
             self._eval_step = jax.jit(
                 T.make_sp_eval_step(self._eval_model, self.mesh))

@@ -118,13 +118,15 @@ def resolve_fused_biacm_train(args, family: str,
                               backend=None, n_devices=None) -> bool:
     """Tri-state --fused_biacm_train → bool.
 
-    Auto (None): on for TPU LiLT runs whose dp×tp collapse to 1 and whose
-    max_seq_len is a multiple of 128 (the kernel's query-tile size). The
-    pallas_call is not GSPMD-partitionable, so dp/tp meshes would all-gather
-    around it — those keep XLA attention. sp>1 is allowed AND is where the
-    kernel wins most (2.7× at L=2048): the backbone is replicated across sp
-    by design, and the seeded hardware PRNG draws identical masks on every
-    sp chip, so the replicated activations stay consistent
+    Auto (None): on for TPU LiLT runs whose max_seq_len is a multiple of
+    128 (the kernel's query-tile size). Every mesh shape is allowed:
+    dp/tp shards run the kernel through shard_map (batch over dp, heads
+    over tp, per-shard decorrelated dropout seeds — GSPMD itself cannot
+    partition the pallas_call; ops/biacm_attention.py *_sharded); sp>1 is
+    where the kernel wins most (2.7× at L=2048): the backbone is
+    replicated across sp by design and the seeded hardware PRNG draws
+    identical masks on every sp chip, so the replicated activations stay
+    consistent
     (tests/test_seq_parallel.py::test_sp_train_step_with_fused_biacm_train).
     """
     if args.fused_biacm_train is not None:
@@ -132,9 +134,7 @@ def resolve_fused_biacm_train(args, family: str,
     import jax
 
     backend = backend or jax.default_backend()
-    n_devices = n_devices or len(jax.devices())
-    dp = args.dp or max(1, n_devices // (args.tp * args.sp))
-    return (backend == "tpu" and dp * args.tp == 1 and family == "lilt"
+    return (backend == "tpu" and family == "lilt"
             and args.max_seq_len % 128 == 0)
 
 

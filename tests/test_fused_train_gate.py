@@ -19,19 +19,15 @@ def test_auto_on_single_chip_tpu_lilt():
     assert resolve_fused_biacm_train(a, "lilt", backend="tpu", n_devices=1)
 
 
-def test_auto_allows_sp_but_not_dp_tp():
+def test_auto_allows_every_mesh_shape():
+    """dp/tp meshes run the kernel through shard_map (models/lilt.py), so
+    the auto-gate no longer turns it off for them; sp was always allowed."""
     a = _args(["--sp", "4"])
     assert resolve_fused_biacm_train(a, "lilt", backend="tpu", n_devices=4)
     a = _args(["--dp", "2", "--sp", "2"])
-    assert not resolve_fused_biacm_train(a, "lilt", backend="tpu",
-                                         n_devices=4)
+    assert resolve_fused_biacm_train(a, "lilt", backend="tpu", n_devices=4)
     a = _args(["--tp", "2", "--sp", "2"])
-    assert not resolve_fused_biacm_train(a, "lilt", backend="tpu",
-                                         n_devices=4)
-    # dp unset fills the rest of the mesh → 4 devices / sp 2 ⇒ dp 2 ⇒ off
-    a = _args(["--sp", "2"])
-    assert not resolve_fused_biacm_train(a, "lilt", backend="tpu",
-                                         n_devices=4)
+    assert resolve_fused_biacm_train(a, "lilt", backend="tpu", n_devices=4)
 
 
 def test_auto_off_cpu_other_families_bad_seqlen():
