@@ -129,3 +129,23 @@ def test_sp_serving_matches_single_device(serving_setup):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+
+
+def test_fused_biacm_mesh_reaches_model(serving_setup):
+    """With fused_biacm=True under a dp/tp mesh, InferenceService must hand
+    the mesh to PEneoModel so the kernels run via shard_map
+    (ops/biacm_attention.*_sharded) — output identity is proven in
+    tests/test_biacm_sharded.py; this guards the plumbing."""
+    wdir, img_dir, ocr_dir, tok = serving_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    svc = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                           batch_size=4, dp=2, tp=2, sp=2, fused_biacm=True)
+    assert svc.model.mesh is svc.mesh and svc.mesh is not None
+    assert svc.cfg.use_fused_biacm
+    # sp-only meshes keep mesh=None on the model (backbone replicated,
+    # the plain kernel runs collective-free on every sp chip)
+    svc_sp = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                              batch_size=4, dp=1, tp=1, sp=8,
+                              fused_biacm=True)
+    assert svc_sp.model.mesh is None
