@@ -48,6 +48,10 @@ def main(argv=None):
                         "to GIL contention)")
     p.add_argument("--decode_workers", type=int, default=2,
                    help="host-decode threads (kept off the dispatch thread)")
+    p.add_argument("--preprocess_procs", type=int, default=0,
+                   help="preprocess in N spawned worker processes instead "
+                        "of threads (escapes the GIL that caps the thread "
+                        "pool; ~1 s spawn cost, wins on large directories)")
     p.add_argument("--no_fused_biacm", action="store_true",
                    help="disable the fused BiACM attention kernel (on by "
                         "default for LiLT on TPU; +7-8%% serving throughput)")
@@ -71,7 +75,8 @@ def main(argv=None):
     results = service.run(args.dir_image, args.dir_ocr,
                           visualize_dir=args.dir_visualize,
                           workers=args.workers,
-                          decode_workers=args.decode_workers)
+                          decode_workers=args.decode_workers,
+                          preprocess_procs=args.preprocess_procs)
     with open(args.dir_save, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=1)
     print(f"[peneo] wrote {args.dir_save}")

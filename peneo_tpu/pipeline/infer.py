@@ -15,96 +15,25 @@ datasets use ``>=`` — both reproduced faithfully), empty lines skipped.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..config import PEneoConfig
-from ..data.box_utils import box_two_point_convert, normalize_bbox, sort_boxes, string_f2h
 from ..registry import get_backbone_info
 from . import decode as dec
 
-_DEPLOY_REPLACEMENTS = (
-    ("☐", ""), ("☑", ""), ("", ""), ("", ""),
-    ("Tοpic", "Topic"),
-    ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u"), ("ü", "u"),
-    ("–", "-"), ("‘", "'"), ("’", "'"), ("“", '"'), ("—", "-"),
-    ("™", "TM"), ("§", ""), ("¢", ""),
+# Preprocessing helpers live in the jax-free pipeline/preprocess.py so
+# worker processes can import them without initializing a device client;
+# re-exported here for compatibility.
+from .preprocess import (  # noqa: F401
+    PagePreprocessor,
+    deploy_text_cleanup,
+    read_ocr_json,
+    tesseract_ocr,
 )
-
-
-# Consecutive single-char replacements merge into C-level str.translate
-# scans (a measured serving-preprocess hotspot vs 18 sequential str.replace
-# passes). Phase ORDER preserves the sequential semantics around the one
-# multi-char rule: the checkbox/PUA deletions run BEFORE "T\u03bfpic" \u2192 "Topic"
-# (deleting an embedded glyph can create a new match for it, e.g.
-# "T\u2610\u03bfpic"), and within a merged phase simultaneous == sequential because
-# no destination contains a later rule's source char.
-_DEPLOY_PHASES: list = []
-for _s, _d in _DEPLOY_REPLACEMENTS:
-    if len(_s) == 1:
-        if _DEPLOY_PHASES and isinstance(_DEPLOY_PHASES[-1], dict):
-            _DEPLOY_PHASES[-1][ord(_s)] = _d
-        else:
-            _DEPLOY_PHASES.append({ord(_s): _d})
-    else:
-        _DEPLOY_PHASES.append((_s, _d))
-
-
-def deploy_text_cleanup(text: str) -> str:
-    for phase in _DEPLOY_PHASES:
-        if isinstance(phase, dict):
-            text = text.translate(phase)
-        elif phase[0] in text:
-            text = text.replace(phase[0], phase[1])
-    return string_f2h(text)
-
-
-def tesseract_ocr(image_path: str) -> Tuple[List[str], List[List[float]]]:
-    """Line-level OCR via tesseract (reference: apply_ocr mode through the HF
-    image processor, deploy/inference.py:243-252). Gated: raises a clear
-    error when pytesseract/tesseract are absent."""
-    try:
-        import pytesseract
-        from PIL import Image
-    except ImportError as e:
-        raise RuntimeError(
-            "apply_ocr requires pytesseract + the tesseract binary; install "
-            "them or provide OCR JSON via --dir_ocr") from e
-    with Image.open(image_path) as im:
-        data = pytesseract.image_to_data(
-            im.convert("RGB"), output_type=pytesseract.Output.DICT)
-    lines: dict = {}
-    for i, word in enumerate(data["text"]):
-        if not word.strip():
-            continue
-        key = (data["block_num"][i], data["par_num"][i], data["line_num"][i])
-        l, t = data["left"][i], data["top"][i]
-        r, b = l + data["width"][i], t + data["height"][i]
-        if key in lines:
-            text, (l0, t0, r0, b0) = lines[key]
-            lines[key] = (text + " " + word, (min(l0, l), min(t0, t),
-                                              max(r0, r), max(b0, b)))
-        else:
-            lines[key] = (word, (l, t, r, b))
-    texts = [v[0] for v in lines.values()]
-    boxes = [list(v[1]) for v in lines.values()]
-    return texts, boxes
-
-
-def read_ocr_json(path: str) -> Tuple[List[str], List[List[float]]]:
-    with open(path, encoding="utf-8") as f:
-        ocr = json.load(f)
-    if isinstance(ocr, dict) and "texts" in ocr:
-        ocr = ocr["texts"]
-    texts, boxes = [], []
-    for line in ocr:
-        texts.append(line.get("ocr", line.get("text")))
-        boxes.append(box_two_point_convert(line.get("bbox", line.get("box"))))
-    return texts, boxes
 
 
 class InferenceService:
@@ -250,63 +179,24 @@ class InferenceService:
         self._jax = jax
 
     # ------------------------------------------------------------- preprocess
+    def page_preprocessor(self) -> PagePreprocessor:
+        """The picklable preprocessing pipeline for this service (see
+        pipeline/preprocess.py). Built on demand so alternative construction
+        paths (deploy/inference_artifact.py assembles the service attribute
+        by attribute) keep working."""
+        prep = PagePreprocessor(
+            tokenizer=self.tokenizer, fetcher=self.fetcher,
+            max_token_len=self.max_token_len,
+            max_seq_len=self.cfg.max_seq_len,
+            add_cls_token=self.info.add_cls_token,
+            add_sep_token=self.info.add_sep_token,
+            image_cfg=self.cfg if self.image_loader is not None else None,
+            _image_loader=self.image_loader)
+        return prep
+
     def preprocess_page(self, image_path: str, ocr_path: Optional[str]):
         """One page → (arrays dict, fetched token texts, per-token orig boxes)."""
-        from PIL import Image
-
-        with Image.open(image_path) as im:
-            image_w, image_h = im.size
-        if ocr_path is None:
-            line_texts, line_boxes = tesseract_ocr(image_path)
-        else:
-            line_texts, line_boxes = read_ocr_json(ocr_path)
-
-        order = sort_boxes(line_boxes)
-        texts: List[str] = []
-        input_ids: List[int] = []
-        bbox: List[List[int]] = []
-        orig_bbox: List[List[float]] = []
-        cursor = 0
-        for idx in order:
-            text = deploy_text_cleanup(line_texts[idx])
-            tokens = self.tokenizer.tokenize(text)
-            if len(tokens) == 0:
-                continue
-            n = len(tokens)
-            if cursor + n > self.max_token_len:  # deploy uses strict >
-                break
-            cursor += n
-            fetched = self.fetcher(text, tokens) if self.fetcher else tokens
-            norm = normalize_bbox(line_boxes[idx], (image_w, image_h))
-            orig_bbox.extend([list(line_boxes[idx])] * n)
-            bbox.extend([norm] * n)
-            texts.extend(fetched)
-            input_ids.extend(self.tokenizer.convert_tokens_to_ids(tokens))
-
-        if self.info.add_cls_token:
-            input_ids.insert(0, self.tokenizer.cls_token_id)
-            bbox.insert(0, [0, 0, 0, 0])
-            orig_bbox.insert(0, [0, 0, 0, 0])
-        if self.info.add_sep_token:
-            input_ids.append(self.tokenizer.sep_token_id)
-            bbox.append([0, 0, 0, 0])
-            orig_bbox.append([0, 0, 0, 0])
-
-        L = self.cfg.max_seq_len
-        n = len(input_ids)
-        pad_id = self.tokenizer.pad_token_id or 0
-        ids_arr = np.full((L,), pad_id, dtype=np.int32)
-        ids_arr[:n] = input_ids
-        bbox_arr = np.zeros((L, 4), dtype=np.int32)
-        bbox_arr[:n] = bbox
-        attn_arr = np.zeros((L,), dtype=np.int32)
-        attn_arr[:n] = 1
-        arrays = {"input_ids": ids_arr, "bbox": bbox_arr,
-                  "attention_mask": attn_arr}
-        if self.image_loader is not None:
-            arrays["image"] = self.image_loader(image_path).astype(np.float32)
-        seq_len = n - int(self.info.add_cls_token)
-        return arrays, texts, orig_bbox[1 if self.info.add_cls_token else 0:], seq_len
+        return self.page_preprocessor()(image_path, ocr_path)
 
     # --------------------------------------------------------------- pipeline
     def run_page(self, image_path: str, ocr_path: Optional[str]):
@@ -398,9 +288,10 @@ class InferenceService:
 
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None,
-            workers: int = 4, decode_workers: int = 2) -> Dict[str, Dict]:
+            workers: int = 4, decode_workers: int = 2,
+            preprocess_procs: int = 0) -> Dict[str, Dict]:
         """Batch inference over a directory: pages are preprocessed in a
-        worker thread pool and fed ``batch_size`` at a time (the north-star
+        worker pool and fed ``batch_size`` at a time (the north-star
         batch-serving path; per-page mode is ``batch_size=1``).
 
         Pipelining: the main thread only dispatches forwards and fetches
@@ -409,7 +300,15 @@ class InferenceService:
         dispatch — decode of batch i overlaps device compute of batch i+1
         AND the fetch of batch i+1. A separate pool is required: the
         preprocess pool's queue holds every remaining page, so decode tasks
-        submitted there would wait for all preprocessing to finish."""
+        submitted there would wait for all preprocessing to finish.
+
+        ``preprocess_procs`` > 0 preprocesses in spawned WORKER PROCESSES
+        instead of ``workers`` threads: tokenize/fetch/pack is pure-python
+        bytecode the GIL serializes, so the thread pool tops out regardless
+        of worker count (8 threads measured 19% slower than 4 — docs §8);
+        processes scale it. Workers import only the jax-free
+        pipeline/preprocess.py (never a device client). Spawn costs ~1 s
+        once — worth it for large directories, off by default."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
@@ -444,16 +343,33 @@ class InferenceService:
         assert len(image_paths) == len(ocr_paths), \
             "image/OCR counts differ"
 
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+        if preprocess_procs > 0:
+            import multiprocessing as mp
+
+            from .preprocess import _init_worker, _preprocess_task
+
+            # spawn (never fork): this process holds an initialized device
+            # client, which must not leak into workers
+            pool = ProcessPoolExecutor(
+                max_workers=preprocess_procs,
+                mp_context=mp.get_context("spawn"),
+                initializer=_init_worker,
+                initargs=(self.page_preprocessor(),))
+            prep_map = lambda pairs: pool.map(  # noqa: E731
+                _preprocess_task, pairs, chunksize=2)
+        else:
+            pool = ThreadPoolExecutor(max_workers=workers)
+            prep = self.page_preprocessor()
+            prep_map = lambda pairs: pool.map(  # noqa: E731
+                lambda pair: prep(*pair), pairs)
 
         results = {}
         pending = []  # (basename, future) in input order
         t_start = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=workers) as pool, \
-                ThreadPoolExecutor(max_workers=decode_workers) as dpool:
-            prepped = pool.map(
-                lambda pair: self.preprocess_page(*pair),
-                zip(image_paths, ocr_paths))
+        with pool, ThreadPoolExecutor(max_workers=decode_workers) as dpool:
+            prepped = prep_map(zip(image_paths, ocr_paths))
             buf, buf_paths = [], []
             inflight = None  # (device_out, pages, paths, t_dispatch)
 

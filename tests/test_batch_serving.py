@@ -149,3 +149,17 @@ def test_fused_biacm_mesh_reaches_model(serving_setup):
                               batch_size=4, dp=1, tp=1, sp=8,
                               fused_biacm=True)
     assert svc_sp.model.mesh is None
+
+
+def test_preprocess_procs_matches_threads(serving_setup):
+    """run(preprocess_procs=2) — spawned jax-free worker processes
+    (pipeline/preprocess.py) — must reproduce the thread-pool results
+    exactly; PagePreprocessor pickles and the loader rebuilds per worker."""
+    wdir, img_dir, ocr_dir, tok = serving_setup
+    svc = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=2)
+    r1 = svc.run(img_dir, ocr_dir)
+    r2 = svc.run(img_dir, ocr_dir, preprocess_procs=2)
+    assert set(r1) == set(r2) and len(r1) == 5
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k

@@ -92,6 +92,9 @@ def main(argv=None):
     p.add_argument("--L", type=int, default=512)
     p.add_argument("--lines_per_page", type=int, default=24)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--preprocess_procs", type=int, default=0,
+                   help="preprocess in N spawned processes (GIL escape) "
+                        "instead of --workers threads")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -129,7 +132,8 @@ def main(argv=None):
         prof = cProfile.Profile()
         prof.enable()
     t0 = time.perf_counter()
-    results = svc.run(img_dir, ocr_dir, workers=args.workers)
+    results = svc.run(img_dir, ocr_dir, workers=args.workers,
+                      preprocess_procs=args.preprocess_procs)
     dt = time.perf_counter() - t0
     if prof is not None:
         prof.disable()
