@@ -175,3 +175,60 @@ def test_export_artifact_roundtrip(tmp_path):
         for k in head:
             np.testing.assert_allclose(np.asarray(art_out[name][k]),
                                        np.asarray(head[k]), atol=1e-5)
+
+
+def _make_mesh_trainer(root, outdir, max_steps, *, dp, tp=1, sp=1,
+                       fsdp=False, batch=1):
+    tok = ToyTokenizer()
+    ds_kwargs = dict(tokenizer=tok, tokenizer_fetcher=fetch_xlm,
+                     max_token_len=48, add_cls_token=True)
+    train_ds = RFUNDDataset(root, "train", "en", **ds_kwargs)
+    coll = PEneoCollator(max_seq_len=48, pad_token_id=0, add_cls_token=True)
+    cfg = PEneoConfig(backbone_name="lilt-infoxlm-base",
+                      backbone_config=LiltConfig.from_dict(TINY).to_dict(),
+                      pair_block_size=16, max_spots_per_head=64)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    args = TrainingArguments(
+        output_dir=outdir, max_steps=max_steps, learning_rate=1e-3,
+        per_device_train_batch_size=batch, per_device_eval_batch_size=batch,
+        logging_steps=10, eval_steps=0, save_steps=4, save_total_limit=2,
+        metric_for_best_model=None, dp=dp, tp=tp, sp=sp, fsdp=fsdp, seed=0,
+    )
+    return PEneoTrainer(cfg, model, args, train_ds, None, coll)
+
+
+def test_checkpoint_resumes_on_a_different_mesh(tmp_path):
+    """Checkpoints are mesh-portable: a run saved under a pure-dp mesh
+    restores (value-identical params + feed position) into a dp×tp×sp mesh
+    with fsdp-sharded optimizer state and keeps training — the topology can
+    change across restarts (the reference's HF/torch checkpoints are tied
+    to the DDP world size for optimizer state, pipeline/trainer.py)."""
+    root = write_rfund_dataset(str(tmp_path / "data"), n_train=8, n_val=2)
+    out = str(tmp_path / "run")
+
+    t1 = _make_mesh_trainer(root, out, max_steps=4, dp=8)
+    t1.train()
+    assert t1.ckpt.latest_step() == 4
+    params_saved = jax.device_get(t1.state.params)
+    t1.ckpt.close()
+
+    # the restore is value-identical: a trainer whose max_steps equals the
+    # saved step restores and runs ZERO steps, leaving state exactly as
+    # restored (now laid out on the new mesh, fsdp-sharded)
+    t3 = _make_mesh_trainer(root, out, max_steps=4,
+                            dp=2, tp=2, sp=2, fsdp=True, batch=4)
+    t3.train()
+    assert int(jax.device_get(t3.state.step)) == 4
+    flat_a, _ = jax.tree_util.tree_flatten(params_saved)
+    flat_b, _ = jax.tree_util.tree_flatten(jax.device_get(t3.state.params))
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t3.ckpt.close()
+
+    # and training continues on the new mesh past the restore point
+    t2 = _make_mesh_trainer(root, out, max_steps=6, dp=2, tp=2, sp=2,
+                            fsdp=True, batch=4)
+    t2.train()  # restores step 4, runs 2 more steps on the new mesh
+    assert int(jax.device_get(t2.state.step)) == 6
+    t2.ckpt.close()
