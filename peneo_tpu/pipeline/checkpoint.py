@@ -32,6 +32,12 @@ class CheckpointManager:
             if best_metric_key else None,
             best_mode="max",
             create=True,
+            # synchronous saves: orbax's async thread runs its own multihost
+            # sync collectives, which race the NEXT train step's psum on the
+            # same channel in multi-process runs (observed as a gloo
+            # size-mismatch abort in the 2-process CLI drive). Saves are
+            # rare (save_steps cadence); determinism wins over overlap.
+            enable_async_checkpointing=False,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -48,6 +54,12 @@ class CheckpointManager:
             "rng": state.rng,
             "feed": np.asarray([e, b], np.int64),
         }
+        # drain in-flight device work before orbax's multihost barrier: on
+        # backends that execute dispatched programs concurrently (CPU PJRT),
+        # a still-running train step's gradient all-reduce and the barrier's
+        # allgather otherwise interleave on the same collective channel
+        # (observed: gloo size-mismatch abort in the 2-process CLI drive)
+        jax.block_until_ready((payload["params"], payload["opt_state"]))
         self._mgr.save(step, args=ocp.args.StandardSave(payload),
                        metrics=metrics or {})
         self._mgr.wait_until_finished()

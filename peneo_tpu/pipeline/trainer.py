@@ -103,9 +103,16 @@ class PEneoTrainer:
         self.tokenizer = tokenizer
         self.source_dir = source_dir
         os.makedirs(args.output_dir, exist_ok=True)
-        self._log_file = open(os.path.join(args.output_dir, "log.jsonl"), "a")
+        # multi-host: every process runs the trainer (collectives need all
+        # of them); only process 0 owns log.jsonl / TensorBoard / final
+        # artifacts — others log to log.rank{i}.jsonl (reference rank-gates
+        # via local_rank, start/run_rfund.py:122-140)
+        self._proc = jax.process_index() if jax.process_count() > 1 else 0
+        log_name = ("log.jsonl" if self._proc == 0
+                    else f"log.rank{self._proc}.jsonl")
+        self._log_file = open(os.path.join(args.output_dir, log_name), "a")
         self._tb = None
-        if args.logging_dir:
+        if args.logging_dir and self._proc == 0:
             try:
                 from flax.metrics import tensorboard
 
@@ -275,6 +282,24 @@ class PEneoTrainer:
         groups: _queue.Queue = _queue.Queue(maxsize=2)
         stop_feed = _threading.Event()
         leftover = [first]  # the batch used for state init starts group 1
+        # Multi-process runs must NOT device_put from the producer thread:
+        # a cross-process device_put issues channel traffic that races the
+        # main thread's collectives on the same transport (minimal repro: a
+        # background device_put to a P('dp') sharding spanning 2 CPU
+        # processes gloo-aborts a concurrent psum loop). The producer then
+        # stays host-side (collate + stack — the GIL-bound part) and the
+        # main loop does the device_put between steps, where execution is
+        # ordered. Single-process keeps the fully-async path.
+        multiproc = jax.process_count() > 1
+
+        def to_device(batches):
+            if k == 1:
+                return batch_to_device(batches[0], self.batch_sharding)
+            host = [batch_arrays(b) for b in batches]
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *host)
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, group_sharding), stacked)
 
         def produce():
             try:
@@ -283,15 +308,7 @@ class PEneoTrainer:
                     leftover.clear()
                     while len(batches) < k:
                         batches.append(next_raw())
-                    if k == 1:
-                        dev = batch_to_device(batches[0], self.batch_sharding)
-                    else:
-                        host = [batch_arrays(b) for b in batches]
-                        stacked = jax.tree_util.tree_map(
-                            lambda *xs: np.stack(xs), *host)
-                        dev = jax.tree_util.tree_map(
-                            lambda x: jax.device_put(x, group_sharding),
-                            stacked)
+                    dev = batches if multiproc else to_device(batches)
                     n = sum(b.input_ids.shape[0] for b in batches)
                     item = (dev, n, (pos["epoch"], pos["batch"]))
                     while not stop_feed.is_set():
@@ -311,6 +328,8 @@ class PEneoTrainer:
                 if isinstance(item, BaseException):
                     raise item
                 dev_batch, n_samples, feed_pos = item
+                if multiproc:
+                    dev_batch = to_device(dev_batch)
 
                 self.state, metrics = self._train_step(self.state, dev_batch)
                 prev = step
@@ -522,11 +541,28 @@ class PEneoTrainer:
 
         if self.state is None:
             return
+        params = self.state.params
+        if jax.process_count() > 1:
+            # params may be cross-process sharded (fsdp over a multi-host dp
+            # axis): EVERY process joins the gather, then only process 0
+            # writes (shared-FS output_dir — one writer). Replicated leaves
+            # read their local copy; only sharded leaves pay the allgather
+            # (tiled=True reassembles the global value from process shards).
+            from jax.experimental import multihost_utils
+
+            def to_host(x):
+                if isinstance(x, jax.Array) and x.is_fully_replicated:
+                    return np.asarray(x.addressable_data(0))
+                return multihost_utils.process_allgather(x, tiled=True)
+
+            params = jax.tree_util.tree_map(to_host, params)
+            if self._proc != 0:
+                return
+        else:
+            params = jax.device_get(params)
         out_dir = self.args.output_dir
         self.cfg.save_pretrained(out_dir)
-        save_params_msgpack(
-            jax.device_get(self.state.params),
-            os.path.join(out_dir, "params.msgpack"))
+        save_params_msgpack(params, os.path.join(out_dir, "params.msgpack"))
         if self.tokenizer is not None and hasattr(self.tokenizer,
                                                   "save_pretrained"):
             try:

@@ -92,6 +92,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "max_seq_len %% 128 == 0")
     p.add_argument("--no_fused_biacm_train", dest="fused_biacm_train",
                    action="store_false")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: jax.distributed.initialize() with "
+                        "auto-detected topology (TPU pods/GKE); the "
+                        "torchrun-equivalent launch (one process per host, "
+                        "shared output_dir; process 0 writes logs/artifacts)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (implies --distributed; "
+                        "needed for manual CPU/GPU multi-process launches)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="override the JAX platform via jax.config (use with "
@@ -301,9 +311,23 @@ def main(argv=None, dataset_cls_name="rfund"):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed or args.coordinator_address:
+        # multi-host launch (replaces the reference's torchrun,
+        # README.md:218): with no explicit flags jax.distributed
+        # auto-detects the topology on TPU pods / GKE; for manual CPU/GPU
+        # launches pass coordinator/num_processes/process_id per process.
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     os.makedirs(args.output_dir, exist_ok=True)
-    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
-        json.dump(vars(args), f, indent=2)
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
 
     cfg, model, train_ds, eval_ds, collator, params = setup(args, dataset_cls_name)
 
