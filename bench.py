@@ -149,6 +149,9 @@ def main(argv=None):
     p.add_argument("--no_fused_biacm", dest="fused_biacm",
                    action="store_false",
                    help="force the stock XLA einsum attention path")
+    p.add_argument("--int8_pair_head", action="store_true",
+                   help="quantize the pair-head hidden matmuls to int8 "
+                        "(models/decoder.Int8Dense; 2x bf16 MXU peak)")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
@@ -174,6 +177,7 @@ def main(argv=None):
         ).to_dict(),
         max_seq_len=args.L,
         use_fused_biacm=args.fused_biacm,
+        quantize_pair_head="int8" if args.int8_pair_head else None,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

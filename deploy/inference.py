@@ -55,6 +55,11 @@ def main(argv=None):
     p.add_argument("--no_fused_biacm", action="store_true",
                    help="disable the fused BiACM attention kernel (on by "
                         "default for LiLT on TPU; +7-8%% serving throughput)")
+    p.add_argument("--int8_pair_head", action="store_true",
+                   help="quantize the pair head's dominant matmuls to int8 "
+                        "(s8xs8->s32 on the MXU, 2x bf16 peak); per-row "
+                        "dynamic activation scales, decode outputs may "
+                        "differ marginally from full precision")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -69,6 +74,7 @@ def main(argv=None):
         tp=args.tp,
         sp=args.sp,
         fused_biacm=False if args.no_fused_biacm else None,
+        int8_pair_head=args.int8_pair_head,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

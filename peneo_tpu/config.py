@@ -190,6 +190,13 @@ class PEneoConfig:
     # On non-TPU backends approx_max_k lowers to the exact sort, so CPU runs
     # are bit-identical to "exact". Set "exact" to force lax.top_k anywhere.
     spot_topk: str = "approx"
+    # serving-only quantization of the pair head's dominant matmul (each
+    # head's first classifier layer, ~2/3 of per-page FLOPs): "int8" runs it
+    # s8×s8→s32 on the MXU (2× the bf16 peak on v5e) with per-row dynamic
+    # activation scales and per-channel weight scales, dequantized before
+    # bias+silu. Active only on deterministic forwards; training and the
+    # sp stacked-weight path keep full precision. None = off (default).
+    quantize_pair_head: Optional[str] = None
     model_type: str = "peneo"
 
     def __post_init__(self):
@@ -198,6 +205,8 @@ class PEneoConfig:
         if self.peneo_category_weights is not None:
             assert len(self.peneo_category_weights) == 3, "category_weights must have 3 elements"
         assert self.spot_topk in ("exact", "approx"), self.spot_topk
+        assert self.quantize_pair_head in (None, "int8"), \
+            self.quantize_pair_head
 
     # --- typed backbone view -------------------------------------------------
     def backbone_family(self) -> str:

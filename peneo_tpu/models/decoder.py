@@ -47,16 +47,53 @@ HEAD_CLASSES = {
 }
 
 
+class Int8Dense(nn.Module):
+    """Dense layer computed as an s8×s8→s32 matmul (the MXU's int8 path
+    runs at 2× the bf16 peak on v5e). Param names/shapes are identical to
+    ``nn.Dense`` so fp32/bf16 checkpoints load unchanged; quantization is
+    derived on the fly — per-output-channel symmetric scales for the
+    kernel (an O(H²) reduce, trivial next to the O(L²·H²) matmul) and
+    per-row dynamic scales for the activations (amax over the contraction
+    axis, fused into the producer that materializes the row)."""
+
+    features: int
+    init_range: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.normal(self.init_range),
+                            (H, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0
+        wq = jnp.round(kernel / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        xq = jnp.round(xf / jnp.maximum(x_scale, 1e-12)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((xf.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * x_scale * w_scale + bias
+        return y.astype(self.dtype)
+
+
 class PairClassifier(nn.Module):
     """MLP classifier over pair features (reference build_classifier,
     model/peneo_decoder.py:231-271). num_layers==1 → single Dense; otherwise
-    Dense(mid)→SiLU→Dropout repeated, final Dense(C)."""
+    Dense(mid)→SiLU→Dropout repeated, final Dense(C).
+
+    ``quant_int8`` swaps the hidden layers (the H→H matmuls that dominate
+    pair-head FLOPs) for :class:`Int8Dense`; the tiny H→C output layer
+    stays full precision."""
 
     num_classes: int
     num_layers: int
     dropout: float
     init_range: float
     dtype: jnp.dtype = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -66,7 +103,12 @@ class PairClassifier(nn.Module):
                             name="fc_out")(x)
         mid = x.shape[-1]
         for i in range(self.num_layers - 1):
-            x = nn.Dense(mid, kernel_init=init, dtype=self.dtype, name=f"fc_{i}")(x)
+            if self.quant_int8:
+                x = Int8Dense(mid, self.init_range, self.dtype,
+                              name=f"fc_{i}")(x)
+            else:
+                x = nn.Dense(mid, kernel_init=init, dtype=self.dtype,
+                             name=f"fc_{i}")(x)
             x = jax.nn.silu(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.num_classes, kernel_init=init, dtype=self.dtype,
@@ -96,6 +138,10 @@ class PairBlockBank(nn.Module):
     def __call__(self, a_blk, b_all, deterministic: bool):
         cfg = self.cfg
         drop = (cfg.backbone_config or {}).get("hidden_dropout_prob", 0.1)
+        # int8 only on deterministic (serving/eval) forwards: the quantized
+        # matmul has no useful gradient, and training stays full precision
+        quant = (deterministic
+                 and getattr(cfg, "quantize_pair_head", None) == "int8")
         pair = jax.nn.silu(a_blk[:, :, None, :] + b_all[:, None, :, :])
         out = {}
         for name in HEAD_NAMES:
@@ -105,6 +151,7 @@ class PairBlockBank(nn.Module):
                 drop,
                 cfg.initializer_range,
                 self.dtype,
+                quant_int8=quant,
                 name=f"{name}_fc",
             )(pair, deterministic)
         return out

@@ -1,0 +1,91 @@
+"""Int8-quantized pair head (models/decoder.Int8Dense,
+cfg.quantize_pair_head="int8"): the serving-only s8×s8→s32 path must load
+full-precision checkpoints unchanged (identical param tree) and track the
+fp32 logits closely — per-row activation scales + per-channel weight scales
+bound the quantization error of each hidden matmul at ~1/127 relative."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peneo_tpu.config import LiltConfig, PEneoConfig
+from peneo_tpu.models.peneo import PEneoModel
+
+L = 48
+TINY = dict(
+    vocab_size=500, hidden_size=64, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=128,
+    max_position_embeddings=L + 16, channel_shrink_ratio=4,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    pad_token_id=0,
+)
+
+
+def _cfg(**kw):
+    return PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=dict(TINY),
+        max_seq_len=L, pair_block_size=16, max_spots_per_head=0,
+        **kw)
+
+
+def _inputs(seed=0, B=2):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(2, 500, (B, L)).astype(np.int32)
+    ids[-1, -7:] = 0
+    attn = (ids != 0).astype(np.int32)
+    x0 = rng.integers(0, 900, (B, L))
+    y0 = rng.integers(0, 900, (B, L))
+    bbox = np.stack([x0, y0, x0 + 40, y0 + 20], -1).astype(np.int32)
+    return ids, bbox, attn
+
+
+def test_int8_tracks_fp32_logits_same_params():
+    ids, bbox, attn = _inputs()
+    fp = PEneoModel(_cfg(), dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn)["params"]
+    ref = fp.apply({"params": params}, ids, bbox, attn,
+                   deterministic=True, return_logits=True)
+
+    q = PEneoModel(_cfg(quantize_pair_head="int8"), dtype=jnp.float32)
+    got = q.apply({"params": params}, ids, bbox, attn,
+                  deterministic=True, return_logits=True)
+
+    for name in ref:
+        a = np.asarray(ref[name]["logits"], np.float32)
+        b = np.asarray(got[name]["logits"], np.float32)
+        # error budget: one int8 hidden matmul between two exact layers;
+        # scale-relative tolerance (logits are O(1) on random init)
+        err = np.abs(a - b).max()
+        span = np.abs(a).max() + 1e-6
+        assert err / span < 0.05, (name, err, span)
+        # and the argmax maps agree almost everywhere on this random model
+        agree = (a.argmax(-1) == b.argmax(-1)).mean()
+        assert agree > 0.98, (name, agree)
+
+
+def test_int8_inactive_during_training():
+    """Non-deterministic (training) forwards keep full precision: losses are
+    bit-identical with and without the flag."""
+    ids, bbox, attn = _inputs(1)
+    labels = {
+        name: np.zeros((2, L - 1, L - 1), np.int8)
+        for name in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
+                     "line_grouping_h2h", "line_grouping_t2t")
+    }
+    fp = PEneoModel(_cfg(), dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn)["params"]
+    kw = dict(deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)})
+    ref = fp.apply({"params": params}, ids, bbox, attn, labels=labels, **kw)
+    q = PEneoModel(_cfg(quantize_pair_head="int8"), dtype=jnp.float32)
+    got = q.apply({"params": params}, ids, bbox, attn, labels=labels, **kw)
+    assert float(ref["total"]) == float(got["total"])
+
+
+def test_int8_rejected_with_sp_serving(tmp_path):
+    from peneo_tpu.pipeline.infer import InferenceService
+
+    with pytest.raises(AssertionError):
+        InferenceService(str(tmp_path), sp=2, int8_pair_head=True)
