@@ -95,6 +95,8 @@ def main(argv=None):
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
                         "instead of --workers threads")
+    p.add_argument("--int8_pair_head", action="store_true",
+                   help="serve with the int8-quantized pair head")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
@@ -120,7 +122,8 @@ def main(argv=None):
 
     svc = InferenceService(wdir, tokenizer=ToyTokenizer(),
                            batch_size=args.batch, dtype="bfloat16",
-                           dp=args.dp, tp=args.tp, sp=args.sp)
+                           dp=args.dp, tp=args.tp, sp=args.sp,
+                           int8_pair_head=args.int8_pair_head)
     # warm the jit outside the timed run
     svc.run(os.path.join(img_dir, sorted(os.listdir(img_dir))[0]),
             os.path.join(ocr_dir, sorted(os.listdir(ocr_dir))[0]))
