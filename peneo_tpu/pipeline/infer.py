@@ -66,14 +66,20 @@ class InferenceService:
         from ..models.peneo import PEneoModel
         from ..utils.compile_cache import enable_compile_cache
 
-        # sp shards evaluate the pair head from stacked fp weights
-        # (parallel/seq_parallel.py), which the int8 path does not cover —
-        # reject the combination rather than silently ignore the flag
-        assert not (int8_pair_head and sp > 1), \
-            "int8_pair_head is not supported with sp > 1"
         enable_compile_cache()  # fresh serving processes skip the 1-6 min
         # full-model compile (reference torch eager has no cold start)
         self.cfg = PEneoConfig.from_pretrained(model_name_or_path)
+        if int8_pair_head:
+            # quantize the pair head's dominant matmuls to s8×s8→s32
+            # (models/decoder.Int8Dense)
+            self.cfg.quantize_pair_head = "int8"
+        if sp > 1 and getattr(self.cfg, "quantize_pair_head", None):
+            # sp shards evaluate the pair head from stacked fp weights
+            # (parallel/seq_parallel.py), which the int8 path does not
+            # cover — reject (whether the flag came from the ctor or the
+            # model dir's config.json) rather than silently ignore it
+            raise ValueError(
+                "quantize_pair_head is not supported with sp > 1")
         if max_seq_len:
             self.cfg.max_seq_len = max_seq_len
         self.info = get_backbone_info(self.cfg.backbone_name)
@@ -91,10 +97,6 @@ class InferenceService:
                            and _jax.default_backend() == "tpu")
         if fused_biacm:
             self.cfg.use_fused_biacm = True
-        if int8_pair_head:
-            # quantize the pair head's dominant matmuls to s8×s8→s32
-            # (models/decoder.Int8Dense)
-            self.cfg.quantize_pair_head = "int8"
         self.max_token_len = min(
             self.info.max_token_len,
             self.cfg.max_seq_len - int(self.info.add_cls_token)

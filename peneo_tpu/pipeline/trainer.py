@@ -292,14 +292,18 @@ class PEneoTrainer:
         # ordered. Single-process keeps the fully-async path.
         multiproc = jax.process_count() > 1
 
-        def to_device(batches):
+        def to_host(batches):
+            # collate + stack (the GIL-bound python part) — always done in
+            # the producer thread
             if k == 1:
-                return batch_to_device(batches[0], self.batch_sharding)
+                return batch_arrays(batches[0])
             host = [batch_arrays(b) for b in batches]
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs), *host)
+            return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host)
+
+        def put(host):
+            sh = self.batch_sharding if k == 1 else group_sharding
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, group_sharding), stacked)
+                lambda x: jax.device_put(x, sh), host)
 
         def produce():
             try:
@@ -308,7 +312,9 @@ class PEneoTrainer:
                     leftover.clear()
                     while len(batches) < k:
                         batches.append(next_raw())
-                    dev = batches if multiproc else to_device(batches)
+                    dev = to_host(batches)
+                    if not multiproc:
+                        dev = put(dev)
                     n = sum(b.input_ids.shape[0] for b in batches)
                     item = (dev, n, (pos["epoch"], pos["batch"]))
                     while not stop_feed.is_set():
@@ -329,7 +335,7 @@ class PEneoTrainer:
                     raise item
                 dev_batch, n_samples, feed_pos = item
                 if multiproc:
-                    dev_batch = to_device(dev_batch)
+                    dev_batch = put(dev_batch)
 
                 self.state, metrics = self._train_step(self.state, dev_batch)
                 prev = step

@@ -368,8 +368,10 @@ def main(argv=None, dataset_cls_name="rfund"):
     if args.do_eval:
         metrics = trainer.evaluate()
         trainer.log({"event": "final_eval", **metrics})
-        with open(os.path.join(args.output_dir, "eval_results.json"), "w") as f:
-            json.dump(metrics, f, indent=2)
+        if _jax.process_index() == 0:  # one writer on the shared output_dir
+            with open(os.path.join(args.output_dir,
+                                   "eval_results.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
         return metrics
 
 

@@ -85,7 +85,15 @@ def test_int8_inactive_during_training():
 
 
 def test_int8_rejected_with_sp_serving(tmp_path):
+    """sp shards evaluate stacked fp weights — int8 must be rejected whether
+    it comes from the ctor flag or the model dir's config.json."""
     from peneo_tpu.pipeline.infer import InferenceService
 
-    with pytest.raises(AssertionError):
+    cfg = _cfg()
+    cfg.save_pretrained(str(tmp_path))
+    with pytest.raises(ValueError, match="sp > 1"):
         InferenceService(str(tmp_path), sp=2, int8_pair_head=True)
+    cfg = _cfg(quantize_pair_head="int8")
+    cfg.save_pretrained(str(tmp_path))
+    with pytest.raises(ValueError, match="sp > 1"):
+        InferenceService(str(tmp_path), sp=2)
