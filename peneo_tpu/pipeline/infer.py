@@ -315,12 +315,14 @@ class InferenceService:
         submitted there would wait for all preprocessing to finish.
 
         ``preprocess_procs`` > 0 preprocesses in spawned WORKER PROCESSES
-        instead of ``workers`` threads: tokenize/fetch/pack is pure-python
-        bytecode the GIL serializes, so the thread pool tops out regardless
-        of worker count (8 threads measured 19% slower than 4 — docs §8);
-        processes scale it. Workers import only the jax-free
-        pipeline/preprocess.py (never a device client). Spawn costs ~1 s
-        once — worth it for large directories, off by default."""
+        instead of ``workers`` threads. Measured guidance (docs §6): keep
+        the thread default for text-only serving — preprocess is ~2
+        ms/page there (not the bottleneck) and the parent's result
+        unpickling caps a process pool at roughly serial throughput; use
+        processes only when per-page host work is genuinely heavy (visual
+        backbones decoding+resizing page images, slow tokenizers).
+        Workers import only the jax-free pipeline/preprocess.py (never a
+        device client)."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
