@@ -163,3 +163,57 @@ def test_preprocess_procs_matches_threads(serving_setup):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+
+
+def test_preprocess_procs_visual_backbone(tmp_path):
+    """The case --preprocess_procs exists for (per-page image decode+resize
+    in the workers): a LayoutLMv3 service must pickle PagePreprocessor
+    with image_cfg and rebuild the loader per worker — results identical
+    to the in-process thread path."""
+    from peneo_tpu.config import LayoutLMv3Config
+    from peneo_tpu.data.synthetic import make_document, render_page
+
+    tok = ToyTokenizer()
+    wdir = str(tmp_path / "weights")
+    os.makedirs(wdir)
+    cfg = PEneoConfig(
+        backbone_name="layoutlmv3-base",
+        backbone_config=LayoutLMv3Config(
+            vocab_size=tok.vocab_size, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96, pad_token_id=0,
+            max_position_embeddings=80, input_size=32, patch_size=16,
+            coordinate_size=8, shape_size=8).to_dict(),
+        pair_block_size=16, max_seq_len=48, max_spots_per_head=32)
+    cfg.save_pretrained(wdir)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    ids = np.ones((1, 48), np.int32)
+    params = model.init(
+        jax.random.PRNGKey(1), ids, np.zeros((1, 48, 4), np.int32), ids,
+        image=np.zeros((1, 3, 32, 32), np.float32),
+        deterministic=True)["params"]
+    save_params_msgpack(jax.device_get(params),
+                        os.path.join(wdir, "params.msgpack"))
+
+    from PIL import Image
+
+    img_dir = str(tmp_path / "images")
+    ocr_dir = str(tmp_path / "ocr")
+    os.makedirs(img_dir)
+    os.makedirs(ocr_dir)
+    rng = random.Random(9)
+    for i in range(3):
+        doc = make_document(rng, f"v{i}.png", n_pairs=2, n_noise=0)
+        Image.fromarray(render_page(doc)).save(f"{img_dir}/v{i}.png")
+        ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
+               for e in doc["entities"] for ln in e["lines"]]
+        with open(f"{ocr_dir}/v{i}.json", "w") as f:
+            json.dump(ocr, f)
+
+    svc = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=2)
+    assert svc.image_loader is not None  # the visual path is active
+    r1 = svc.run(img_dir, ocr_dir)
+    r2 = svc.run(img_dir, ocr_dir, preprocess_procs=2)
+    assert set(r1) == set(r2) and len(r1) == 3
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k
