@@ -151,7 +151,9 @@ def main(argv=None):
                    help="force the stock XLA einsum attention path")
     p.add_argument("--int8_pair_head", action="store_true",
                    help="quantize the pair-head hidden matmuls to int8 "
-                        "(models/decoder.Int8Dense; 2x bf16 MXU peak)")
+                        "(ops/quant.Int8Dense; 2x bf16 MXU peak)")
+    p.add_argument("--int8_backbone", action="store_true",
+                   help="additionally quantize the backbone projections/MLPs")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
@@ -178,6 +180,7 @@ def main(argv=None):
         max_seq_len=args.L,
         use_fused_biacm=args.fused_biacm,
         quantize_pair_head="int8" if args.int8_pair_head else None,
+        quantize_backbone="int8" if args.int8_backbone else None,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

@@ -60,6 +60,9 @@ def main(argv=None):
                         "(s8xs8->s32 on the MXU, 2x bf16 peak); per-row "
                         "dynamic activation scales, decode outputs may "
                         "differ marginally from full precision")
+    p.add_argument("--int8_backbone", action="store_true",
+                   help="additionally quantize the backbone's projection/"
+                        "MLP matmuls to int8 (LiLT family)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -75,6 +78,7 @@ def main(argv=None):
         sp=args.sp,
         fused_biacm=False if args.no_fused_biacm else None,
         int8_pair_head=args.int8_pair_head,
+        int8_backbone=args.int8_backbone,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

@@ -197,6 +197,9 @@ class PEneoConfig:
     # bias+silu. Active only on deterministic forwards; training and the
     # sp stacked-weight path keep full precision. None = off (default).
     quantize_pair_head: Optional[str] = None
+    # serving-only int8 for the backbone's projection/MLP matmuls (LiLT
+    # family; same Int8Dense, gated per-call on deterministic forwards)
+    quantize_backbone: Optional[str] = None
     model_type: str = "peneo"
 
     def __post_init__(self):
@@ -207,6 +210,8 @@ class PEneoConfig:
         assert self.spot_topk in ("exact", "approx"), self.spot_topk
         assert self.quantize_pair_head in (None, "int8"), \
             self.quantize_pair_head
+        assert self.quantize_backbone in (None, "int8"), \
+            self.quantize_backbone
 
     # --- typed backbone view -------------------------------------------------
     def backbone_family(self) -> str:

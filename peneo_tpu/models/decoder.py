@@ -47,38 +47,6 @@ HEAD_CLASSES = {
 }
 
 
-class Int8Dense(nn.Module):
-    """Dense layer computed as an s8×s8→s32 matmul (the MXU's int8 path
-    runs at 2× the bf16 peak on v5e). Param names/shapes are identical to
-    ``nn.Dense`` so fp32/bf16 checkpoints load unchanged; quantization is
-    derived on the fly — per-output-channel symmetric scales for the
-    kernel (an O(H²) reduce, trivial next to the O(L²·H²) matmul) and
-    per-row dynamic scales for the activations (amax over the contraction
-    axis, fused into the producer that materializes the row)."""
-
-    features: int
-    init_range: float
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        H = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.normal(self.init_range),
-                            (H, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        w_scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0
-        wq = jnp.round(kernel / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
-        xf = x.astype(jnp.float32)
-        x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-        xq = jnp.round(xf / jnp.maximum(x_scale, 1e-12)).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, wq, (((xf.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * x_scale * w_scale + bias
-        return y.astype(self.dtype)
-
-
 class PairClassifier(nn.Module):
     """MLP classifier over pair features (reference build_classifier,
     model/peneo_decoder.py:231-271). num_layers==1 → single Dense; otherwise
@@ -102,13 +70,11 @@ class PairClassifier(nn.Module):
             return nn.Dense(self.num_classes, kernel_init=init, dtype=self.dtype,
                             name="fc_out")(x)
         mid = x.shape[-1]
+        from ..ops.quant import dense as qdense
+
         for i in range(self.num_layers - 1):
-            if self.quant_int8:
-                x = Int8Dense(mid, self.init_range, self.dtype,
-                              name=f"fc_{i}")(x)
-            else:
-                x = nn.Dense(mid, kernel_init=init, dtype=self.dtype,
-                             name=f"fc_{i}")(x)
+            x = qdense(mid, quant=self.quant_int8, kernel_init=init,
+                       dtype=self.dtype, name=f"fc_{i}")(x)
             x = jax.nn.silu(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.num_classes, kernel_init=init, dtype=self.dtype,

@@ -166,6 +166,7 @@ class LiltSelfAttention(nn.Module):
     # a (dp, tp[, sp]) jax.sharding.Mesh routes the fused kernels through
     # shard_map (GSPMD cannot partition a pallas_call); None = single-device
     mesh: Optional[object] = None
+    int8_dense: bool = False  # serving-only s8×s8→s32 projections (ops/quant)
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
@@ -176,9 +177,13 @@ class LiltSelfAttention(nn.Module):
         r = cfg.channel_shrink_ratio
         dh_l = dh // r
         B, L = text.shape[:2]
+        from ..ops.quant import dense as qdense
+
+        quant = self.int8_dense and deterministic
 
         def proj(x, feats, name):
-            y = nn.Dense(feats, kernel_init=init, dtype=self.dtype, name=name)(x)
+            y = qdense(feats, quant=quant, kernel_init=init,
+                       dtype=self.dtype, name=name)(x)
             return y.reshape(y.shape[0], y.shape[1], nh, feats // nh)
 
         q_t = proj(text, cfg.hidden_size, "query")
@@ -282,11 +287,15 @@ class ResidualOutput(nn.Module):
     features: int
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, x, residual, deterministic: bool):
-        x = nn.Dense(self.features, kernel_init=dense_init(self.cfg), dtype=self.dtype,
-                     name="dense")(x)
+        from ..ops.quant import dense as qdense
+
+        x = qdense(self.features, quant=self.int8_dense and deterministic,
+                   kernel_init=dense_init(self.cfg), dtype=self.dtype,
+                   name="dense")(x)
         x = nn.Dropout(self.cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(x + residual)
@@ -299,13 +308,19 @@ class Mlp(nn.Module):
     intermediate: int
     cfg: LiltConfig
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        h = nn.Dense(self.intermediate, kernel_init=dense_init(self.cfg),
-                     dtype=self.dtype, name="intermediate_dense")(x)
+        from ..ops.quant import dense as qdense
+
+        h = qdense(self.intermediate,
+                   quant=self.int8_dense and deterministic,
+                   kernel_init=dense_init(self.cfg),
+                   dtype=self.dtype, name="intermediate_dense")(x)
         h = ACT[self.cfg.hidden_act](h)
-        out = ResidualOutput(self.hidden, self.cfg, self.dtype, name="output")(
+        out = ResidualOutput(self.hidden, self.cfg, self.dtype,
+                             self.int8_dense, name="output")(
             h, x, deterministic)
         return out
 
@@ -317,25 +332,29 @@ class LiltLayer(nn.Module):
     fused_biacm: bool = False
     fused_biacm_train: bool = False
     mesh: Optional[object] = None
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, text, layout, attn_bias, seg_mask, deterministic: bool):
         cfg = self.cfg
+        q8 = self.int8_dense
         lay_h = cfg.hidden_size // cfg.channel_shrink_ratio
         ctx_t, ctx_l = LiltSelfAttention(cfg, self.dtype, self.flash,
                                          self.fused_biacm,
                                          self.fused_biacm_train,
-                                         self.mesh,
+                                         self.mesh, q8,
                                          name="self_attn")(
             text, layout, attn_bias, seg_mask, deterministic)
-        text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, name="attn_output")(
+        text = ResidualOutput(cfg.hidden_size, cfg, self.dtype, q8,
+                              name="attn_output")(
             ctx_t, text, deterministic)
-        layout = ResidualOutput(lay_h, cfg, self.dtype, name="layout_attn_output")(
+        layout = ResidualOutput(lay_h, cfg, self.dtype, q8,
+                                name="layout_attn_output")(
             ctx_l, layout, deterministic)
         text = Mlp(cfg.hidden_size, cfg.intermediate_size, cfg, self.dtype,
-                   name="mlp")(text, deterministic)
+                   q8, name="mlp")(text, deterministic)
         layout = Mlp(lay_h, cfg.intermediate_size // cfg.channel_shrink_ratio, cfg,
-                     self.dtype, name="layout_mlp")(layout, deterministic)
+                     self.dtype, q8, name="layout_mlp")(layout, deterministic)
         return text, layout
 
 
@@ -349,6 +368,7 @@ class LiltModel(nn.Module):
     fused_biacm: bool = False  # dim-80-aware fused BiACM kernel (inference)
     fused_biacm_train: bool = False  # custom-VJP variant w/ in-kernel dropout
     mesh: Optional[object] = None  # shard_map the kernels over (dp, tp)
+    int8_dense: bool = False  # serving-only int8 projections/MLPs (ops/quant)
 
     @nn.compact
     def __call__(
@@ -376,7 +396,7 @@ class LiltModel(nn.Module):
             text, layout = layer_cls(cfg, self.dtype, self.flash_attention,
                                      self.fused_biacm,
                                      self.fused_biacm_train,
-                                     self.mesh,
+                                     self.mesh, self.int8_dense,
                                      name=f"layer_{i}")(
                 text, layout, attn_bias, seg_mask, deterministic)
 

@@ -35,6 +35,8 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
                          fused_biacm_train=getattr(
                              cfg, "use_fused_biacm_train", False),
                          mesh=mesh,
+                         int8_dense=getattr(
+                             cfg, "quantize_backbone", None) == "int8",
                          name="backbone")
     if fam == "layoutlmv3":
         from .layoutlmv3 import LayoutLMv3Model

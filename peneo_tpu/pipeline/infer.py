@@ -52,6 +52,7 @@ class InferenceService:
         sp: int = 1,
         fused_biacm: Optional[bool] = None,
         int8_pair_head: bool = False,
+        int8_backbone: bool = False,
     ) -> None:
         """``dp``/``tp``/``sp`` > 1 serve over a ``jax.sharding.Mesh``: the
         page batch shards over dp chips, the attention/MLP/pair-head kernels
@@ -71,8 +72,10 @@ class InferenceService:
         self.cfg = PEneoConfig.from_pretrained(model_name_or_path)
         if int8_pair_head:
             # quantize the pair head's dominant matmuls to s8×s8→s32
-            # (models/decoder.Int8Dense)
+            # (ops/quant.Int8Dense)
             self.cfg.quantize_pair_head = "int8"
+        if int8_backbone:
+            self.cfg.quantize_backbone = "int8"
         if sp > 1 and getattr(self.cfg, "quantize_pair_head", None):
             # sp shards evaluate the pair head from stacked fp weights
             # (parallel/seq_parallel.py), which the int8 path does not

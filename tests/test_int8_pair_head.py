@@ -97,3 +97,45 @@ def test_int8_rejected_with_sp_serving(tmp_path):
     cfg.save_pretrained(str(tmp_path))
     with pytest.raises(ValueError, match="sp > 1"):
         InferenceService(str(tmp_path), sp=2)
+
+
+def test_int8_backbone_tracks_fp32():
+    """quantize_backbone="int8" swaps the LiLT projection/MLP matmuls for
+    Int8Dense (same param tree). Drift accumulates over layers, so the
+    tolerance is looser than the single-matmul pair-head case but the
+    logits must still track fp32 closely."""
+    ids, bbox, attn = _inputs(2)
+    fp = PEneoModel(_cfg(), dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn)["params"]
+    ref = fp.apply({"params": params}, ids, bbox, attn,
+                   deterministic=True, return_logits=True)
+
+    q = PEneoModel(_cfg(quantize_backbone="int8",
+                        quantize_pair_head="int8"), dtype=jnp.float32)
+    got = q.apply({"params": params}, ids, bbox, attn,
+                  deterministic=True, return_logits=True)
+
+    for name in ref:
+        a = np.asarray(ref[name]["logits"], np.float32)
+        b = np.asarray(got[name]["logits"], np.float32)
+        err = np.abs(a - b).max()
+        span = np.abs(a).max() + 1e-6
+        assert err / span < 0.15, (name, err, span)
+        agree = (a.argmax(-1) == b.argmax(-1)).mean()
+        assert agree > 0.95, (name, agree)
+
+
+def test_int8_backbone_inactive_during_training():
+    ids, bbox, attn = _inputs(3)
+    fp = PEneoModel(_cfg(), dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn)["params"]
+    labels = {
+        name: np.zeros((2, L - 1, L - 1), np.int8)
+        for name in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
+                     "line_grouping_h2h", "line_grouping_t2t")
+    }
+    kw = dict(deterministic=False, rngs={"dropout": jax.random.PRNGKey(5)})
+    ref = fp.apply({"params": params}, ids, bbox, attn, labels=labels, **kw)
+    q = PEneoModel(_cfg(quantize_backbone="int8"), dtype=jnp.float32)
+    got = q.apply({"params": params}, ids, bbox, attn, labels=labels, **kw)
+    assert float(ref["total"]) == float(got["total"])
