@@ -120,6 +120,7 @@ class Layer(nn.Module):
 
     cfg: LayoutLMv3Config
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
 
     @nn.compact
     def __call__(self, x, attn_bias, rel_bias, deterministic: bool):
@@ -127,10 +128,13 @@ class Layer(nn.Module):
         init = dense_init(cfg)
         nh = cfg.num_attention_heads
         dh = cfg.hidden_size // nh
+        from ..ops.quant import dense as qdense
+
+        quant = self.int8_dense and deterministic
 
         def proj(v, name):
-            y = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                         name=name)(v)
+            y = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                       dtype=self.dtype, name=name)(v)
             return y.reshape(y.shape[0], y.shape[1], nh, dh)
 
         q = proj(x, "query")
@@ -147,17 +151,17 @@ class Layer(nn.Module):
         ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
         ctx = ctx.reshape(x.shape[0], x.shape[1], cfg.hidden_size)
 
-        ctx = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                       name="attention_output_dense")(ctx)
+        ctx = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                     dtype=self.dtype, name="attention_output_dense")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_output_LayerNorm")(ctx + x)
 
-        h = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=self.dtype,
-                     name="intermediate")(x)
+        h = qdense(cfg.intermediate_size, quant=quant, kernel_init=init,
+                   dtype=self.dtype, name="intermediate")(x)
         h = ACT[cfg.hidden_act](h)
-        h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                     name="output_dense")(h)
+        h = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                   dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_LayerNorm")(h + x)
@@ -167,6 +171,7 @@ class LayoutLMv3Model(nn.Module):
     cfg: LayoutLMv3Config
     dtype: jnp.dtype = jnp.float32
     remat_layers: bool = False
+    int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
 
     @nn.compact
     def __call__(
@@ -258,7 +263,8 @@ class LayoutLMv3Model(nn.Module):
         layer_cls = (nn.remat(Layer, static_argnums=(4,))
                      if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
-            x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
+            x = layer_cls(cfg, self.dtype, self.int8_dense,
+                          name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 
         return {"last_hidden_state": x}

@@ -42,6 +42,8 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
         from .layoutlmv3 import LayoutLMv3Model
 
         return LayoutLMv3Model(cfg.backbone(), dtype=dtype, remat_layers=remat,
+                               int8_dense=getattr(
+                                   cfg, "quantize_backbone", None) == "int8",
                                name="backbone")
     if fam == "layoutlmv2":
         from .layoutlmv2 import LayoutLMv2Model

@@ -139,3 +139,43 @@ def test_int8_backbone_inactive_during_training():
     q = PEneoModel(_cfg(quantize_backbone="int8"), dtype=jnp.float32)
     got = q.apply({"params": params}, ids, bbox, attn, labels=labels, **kw)
     assert float(ref["total"]) == float(got["total"])
+
+
+def test_int8_backbone_layoutlmv3():
+    """The v3 family routes through the same Int8Dense on deterministic
+    forwards — logits track fp32, losses untouched in training."""
+    from peneo_tpu.config import LayoutLMv3Config
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(2, 300, (2, 32)).astype(np.int32)
+    attn = np.ones_like(ids)
+    x0 = rng.integers(0, 900, (2, 32))
+    y0 = rng.integers(0, 900, (2, 32))
+    bbox = np.stack([x0, y0, x0 + 40, y0 + 20], -1).astype(np.int32)
+
+    def cfg(**kw):
+        return PEneoConfig(
+            backbone_name="layoutlmv3-base",
+            backbone_config=LayoutLMv3Config(
+                vocab_size=300, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=128,
+                max_position_embeddings=64, pad_token_id=0,
+                # concat spatial embeds must equal hidden: 4c + 2s = 64
+                coordinate_size=12, shape_size=8, visual_embed=False,
+                hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0).to_dict(),
+            max_seq_len=32, pair_block_size=16, max_spots_per_head=0, **kw)
+
+    fp = PEneoModel(cfg(), dtype=jnp.float32)
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn)["params"]
+    ref = fp.apply({"params": params}, ids, bbox, attn,
+                   deterministic=True, return_logits=True)
+    q = PEneoModel(cfg(quantize_backbone="int8"), dtype=jnp.float32)
+    got = q.apply({"params": params}, ids, bbox, attn,
+                  deterministic=True, return_logits=True)
+    for name in ref:
+        a = np.asarray(ref[name]["logits"], np.float32)
+        b = np.asarray(got[name]["logits"], np.float32)
+        err = np.abs(a - b).max()
+        span = np.abs(a).max() + 1e-6
+        assert err / span < 0.15, (name, err, span)
