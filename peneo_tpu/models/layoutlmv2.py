@@ -185,6 +185,7 @@ class Layer(nn.Module):
 
     cfg: LayoutLMv2Config
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
 
     @nn.compact
     def __call__(self, x, attn_bias, rel_bias, deterministic: bool):
@@ -193,10 +194,14 @@ class Layer(nn.Module):
         nh = cfg.num_attention_heads
         dh = cfg.hidden_size // nh
         B, L, _ = x.shape
+        from ..ops.quant import dense as qdense
+
+        quant = self.int8_dense and deterministic
 
         if cfg.fast_qkv:
-            qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, kernel_init=init,
-                           dtype=self.dtype, name="qkv_linear")(x)
+            qkv = qdense(3 * cfg.hidden_size, quant=quant, use_bias=False,
+                         kernel_init=init,
+                         dtype=self.dtype, name="qkv_linear")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q + self.param("q_bias", nn.initializers.zeros,
                                (1, 1, cfg.hidden_size)).astype(self.dtype)
@@ -223,17 +228,17 @@ class Layer(nn.Module):
             probs, deterministic=deterministic)
         ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, L, cfg.hidden_size)
 
-        ctx = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                       name="attention_output_dense")(ctx)
+        ctx = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                     dtype=self.dtype, name="attention_output_dense")(ctx)
         ctx = nn.Dropout(cfg.hidden_dropout_prob)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_output_LayerNorm")(ctx + x)
 
-        h = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=self.dtype,
-                     name="intermediate")(x)
+        h = qdense(cfg.intermediate_size, quant=quant, kernel_init=init,
+                   dtype=self.dtype, name="intermediate")(x)
         h = ACT[cfg.hidden_act](h)
-        h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                     name="output_dense")(h)
+        h = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                   dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_LayerNorm")(h + x)
@@ -244,6 +249,9 @@ class LayoutLMv2Model(nn.Module):
     dtype: jnp.dtype = jnp.float32
     visual_depths: Sequence[int] = (3, 4, 23, 3)
     remat_layers: bool = False
+    # serving-only int8 text-encoder matmuls (ops/quant); the visual conv
+    # tower stays full precision
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -330,7 +338,8 @@ class LayoutLMv2Model(nn.Module):
         layer_cls = (nn.remat(Layer, static_argnums=(4,))
                      if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
-            x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
+            x = layer_cls(cfg, self.dtype, self.int8_dense,
+                          name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 
         return {"last_hidden_state": x}

@@ -51,6 +51,8 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
         bc = cfg.backbone()
         return LayoutLMv2Model(bc, dtype=dtype, remat_layers=remat,
                                visual_depths=tuple(bc.visual_depths),
+                               int8_dense=getattr(
+                                   cfg, "quantize_backbone", None) == "int8",
                                name="backbone")
     raise NotImplementedError(f"backbone family {fam}")
 

@@ -368,3 +368,27 @@ def test_visual_tower_shapes_and_full_model():
                       deterministic=True)["last_hidden_state"]
     assert out.shape == (B, L + 49, TINY["hidden_size"])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_dense_tracks_fp32():
+    """int8_dense (ops/quant) on the v2 text encoder: same params, logits
+    track the fp32 forward; the conv tower stays full precision."""
+    from peneo_tpu.models.layoutlmv2 import LayoutLMv2Model
+
+    cfg = LayoutLMv2Config.from_dict(TINY)
+    fp = LayoutLMv2Model(cfg, dtype=jnp.float32, visual_depths=(1, 1, 1, 1))
+    ids, attn, bbox = _inputs(3)
+    rng = np.random.default_rng(5)
+    image = rng.random((B, 3, 112, 112)).astype(np.float32) * 255
+    params = fp.init(jax.random.PRNGKey(0), ids, bbox, attn, image=image,
+                     deterministic=True)["params"]
+    ref = fp.apply({"params": params}, ids, bbox, attn, image=image,
+                   deterministic=True)["last_hidden_state"]
+    q = LayoutLMv2Model(cfg, dtype=jnp.float32, visual_depths=(1, 1, 1, 1),
+                        int8_dense=True)
+    got = q.apply({"params": params}, ids, bbox, attn, image=image,
+                  deterministic=True)["last_hidden_state"]
+    a, b = np.asarray(ref), np.asarray(got)
+    err = np.abs(a - b).max()
+    span = np.abs(a).max() + 1e-6
+    assert err / span < 0.15, (err, span)
