@@ -140,3 +140,40 @@ def test_two_process_train_eval(tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(dist[0]["losses"], solo["losses"], rtol=1e-4)
+
+
+def test_two_process_multi_step_dispatch(tmp_path):
+    """steps_per_call > 1 under 2 real processes: the group producer stacks
+    batches host-side in its thread and the MAIN thread device_puts to the
+    (group, dp) sharding — a background cross-process device_put races the
+    step all-reduce on the collective channel (gloo abort; see the
+    producer comment in pipeline/trainer.py). Asserts both workers finish
+    and report identical losses."""
+    from peneo_tpu.data.synthetic import write_rfund_dataset
+
+    data_root = write_rfund_dataset(str(tmp_path / "rfund2"), n_train=8,
+                                    n_val=2, seed=13)
+    worker = WORKER.replace("max_steps=6", "max_steps=4") \
+                   .replace("save_steps=0, start_eval_epoch=0,",
+                            "save_steps=2, start_eval_epoch=0, "
+                            "steps_per_call=2,")
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(port), "2", str(pid),
+             REPO, data_root, str(tmp_path / f"ms_out_{pid}")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+    assert results[0]["losses"] == results[1]["losses"]
+    assert len(results[0]["losses"]) >= 1
