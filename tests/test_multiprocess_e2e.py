@@ -161,10 +161,13 @@ def test_two_process_multi_step_dispatch(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # ONE shared output_dir: orbax's multihost save coordinates through the
+    # checkpoint directory — per-process dirs deadlock its barrier
+    shared_out = str(tmp_path / "ms_out")
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", worker, str(port), "2", str(pid),
-             REPO, data_root, str(tmp_path / f"ms_out_{pid}")],
+             REPO, data_root, shared_out],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for pid in range(2)
