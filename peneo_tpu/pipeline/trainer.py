@@ -108,6 +108,25 @@ class PEneoTrainer:
         # artifacts — others log to log.rank{i}.jsonl (reference rank-gates
         # via local_rank, start/run_rfund.py:122-140)
         self._proc = jax.process_index() if jax.process_count() > 1 else 0
+        if jax.process_count() > 1 and args.save_steps \
+                and not os.environ.get("PENEO_ALLOW_DIVERGENT_OUTPUT_DIR"):
+            # orbax's multihost save coordinates through the checkpoint
+            # DIRECTORY; per-process dirs deadlock its barrier at the first
+            # save. Catch the misconfiguration now with a clear error. (Set
+            # PENEO_ALLOW_DIVERGENT_OUTPUT_DIR=1 if your processes reach
+            # one shared filesystem through genuinely different paths.)
+            import hashlib
+
+            from jax.experimental import multihost_utils
+
+            h = np.frombuffer(hashlib.sha256(
+                os.path.abspath(args.output_dir).encode()).digest(),
+                np.uint8).astype(np.int32)
+            if not np.array_equal(h, multihost_utils.broadcast_one_to_all(h)):
+                raise ValueError(
+                    "multi-process training with save_steps>0 requires the "
+                    "SAME output_dir on every process (shared filesystem) — "
+                    f"process {self._proc} has {args.output_dir!r}")
         log_name = ("log.jsonl" if self._proc == 0
                     else f"log.rank{self._proc}.jsonl")
         self._log_file = open(os.path.join(args.output_dir, log_name), "a")
