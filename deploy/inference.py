@@ -62,7 +62,8 @@ def main(argv=None):
                         "differ marginally from full precision")
     p.add_argument("--int8_backbone", action="store_true",
                    help="additionally quantize the backbone's projection/"
-                        "MLP matmuls to int8 (LiLT family)")
+                        "MLP matmuls to int8 (all three text encoders; "
+                        "the v2 conv tower stays full precision)")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService

@@ -197,8 +197,9 @@ class PEneoConfig:
     # bias+silu. Active only on deterministic forwards; training and the
     # sp stacked-weight path keep full precision. None = off (default).
     quantize_pair_head: Optional[str] = None
-    # serving-only int8 for the backbone's projection/MLP matmuls (LiLT
-    # family; same Int8Dense, gated per-call on deterministic forwards)
+    # serving-only int8 for the backbone's projection/MLP matmuls (all
+    # three text encoders; v2's conv tower stays full precision; same
+    # Int8Dense, gated per-call on deterministic forwards)
     quantize_backbone: Optional[str] = None
     model_type: str = "peneo"
 

@@ -208,12 +208,12 @@ class Layer(nn.Module):
             v = v + self.param("v_bias", nn.initializers.zeros,
                                (1, 1, cfg.hidden_size)).astype(self.dtype)
         else:
-            q = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                         name="query")(x)
-            k = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                         name="key")(x)
-            v = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
-                         name="value")(x)
+            q = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                       dtype=self.dtype, name="query")(x)
+            k = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                       dtype=self.dtype, name="key")(x)
+            v = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
+                       dtype=self.dtype, name="value")(x)
 
         q = q.reshape(B, L, nh, dh)
         k = k.reshape(B, L, nh, dh)

@@ -108,25 +108,37 @@ class PEneoTrainer:
         # artifacts — others log to log.rank{i}.jsonl (reference rank-gates
         # via local_rank, start/run_rfund.py:122-140)
         self._proc = jax.process_index() if jax.process_count() > 1 else 0
-        if jax.process_count() > 1 and args.save_steps \
-                and not os.environ.get("PENEO_ALLOW_DIVERGENT_OUTPUT_DIR"):
+        if jax.process_count() > 1 and args.save_steps:
             # orbax's multihost save coordinates through the checkpoint
             # DIRECTORY; per-process dirs deadlock its barrier at the first
-            # save. Catch the misconfiguration now with a clear error. (Set
-            # PENEO_ALLOW_DIVERGENT_OUTPUT_DIR=1 if your processes reach
-            # one shared filesystem through genuinely different paths.)
+            # save. Catch the misconfiguration now with a clear error ON
+            # EVERY RANK (an allgather — every process compares everyone's
+            # hash, so no rank proceeds alone into a doomed collective).
+            # The escape hatch for shared filesystems mounted at different
+            # paths, PENEO_ALLOW_DIVERGENT_OUTPUT_DIR=1, is itself gathered
+            # so a partially-set env cannot desynchronize the check; it
+            # must be set (truthy) on EVERY process to take effect.
             import hashlib
 
             from jax.experimental import multihost_utils
 
+            allow = os.environ.get(
+                "PENEO_ALLOW_DIVERGENT_OUTPUT_DIR", "") not in ("", "0")
             h = np.frombuffer(hashlib.sha256(
                 os.path.abspath(args.output_dir).encode()).digest(),
                 np.uint8).astype(np.int32)
-            if not np.array_equal(h, multihost_utils.broadcast_one_to_all(h)):
+            probe = np.concatenate([h, [np.int32(allow)]])
+            gathered = multihost_utils.process_allgather(probe)
+            all_allow = bool(gathered[:, -1].all())
+            dirs_match = bool((gathered[:, :-1] == probe[None, :-1]).all())
+            if not dirs_match and not all_allow:
                 raise ValueError(
                     "multi-process training with save_steps>0 requires the "
                     "SAME output_dir on every process (shared filesystem) — "
-                    f"process {self._proc} has {args.output_dir!r}")
+                    f"process {self._proc} has {args.output_dir!r}. If the "
+                    "processes do reach one shared filesystem through "
+                    "different paths, set PENEO_ALLOW_DIVERGENT_OUTPUT_DIR=1 "
+                    "on EVERY process.")
         log_name = ("log.jsonl" if self._proc == 0
                     else f"log.rank{self._proc}.jsonl")
         self._log_file = open(os.path.join(args.output_dir, log_name), "a")

@@ -1,4 +1,4 @@
-"""Int8-quantized pair head (models/decoder.Int8Dense,
+"""Int8-quantized pair head (ops/quant.Int8Dense,
 cfg.quantize_pair_head="int8"): the serving-only s8×s8→s32 path must load
 full-precision checkpoints unchanged (identical param tree) and track the
 fp32 logits closely — per-row activation scales + per-channel weight scales

@@ -157,6 +157,9 @@ def test_two_process_multi_step_dispatch(tmp_path):
                    .replace("save_steps=0, start_eval_epoch=0,",
                             "save_steps=2, start_eval_epoch=0, "
                             "steps_per_call=2,")
+    # a drifted anchor would silently leave the worker at K=1/no-saves and
+    # this test green while guarding nothing
+    assert "steps_per_call=2" in worker and "max_steps=4" in worker
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
