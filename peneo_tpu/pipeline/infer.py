@@ -304,18 +304,25 @@ class InferenceService:
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None,
             workers: int = 4, decode_workers: int = 2,
-            preprocess_procs: int = 0) -> Dict[str, Dict]:
+            preprocess_procs: int = 0, inflight_depth: int = 2) -> Dict[str, Dict]:
         """Batch inference over a directory: pages are preprocessed in a
         worker pool and fed ``batch_size`` at a time (the north-star
         batch-serving path; per-page mode is ``batch_size=1``).
 
         Pipelining: the main thread only dispatches forwards and fetches
-        outputs (double buffering, one batch in flight); per-page decode is
-        submitted to a separate small pool so it never blocks the next
-        dispatch — decode of batch i overlaps device compute of batch i+1
-        AND the fetch of batch i+1. A separate pool is required: the
+        outputs (``inflight_depth`` batches in flight, default 2); per-page
+        decode is submitted to a separate small pool so it never blocks the
+        next dispatch — decode of batch i overlaps device compute of batch
+        i+1 AND the fetch of batch i+1. A separate pool is required: the
         preprocess pool's queue holds every remaining page, so decode tasks
         submitted there would wait for all preprocessing to finish.
+
+        ``inflight_depth=2`` keeps a second batch queued on the device so
+        the accelerator never starves while the main thread waits for the
+        GIL behind decode/preprocess threads: with depth 1 the measured
+        steady-state cycle was 139 ms/batch vs a 118 ms compute-bound loop
+        (tools/probe_overlap.py) — the ~21 ms/batch was late dispatch, not
+        device time. Depth 2 absorbs that host jitter entirely.
 
         ``preprocess_procs`` > 0 preprocesses in spawned WORKER PROCESSES
         instead of ``workers`` threads. Measured guidance (docs §6): keep
@@ -382,20 +389,18 @@ class InferenceService:
             prep_map = lambda pairs: pool.map(  # noqa: E731
                 lambda pair: prep(*pair), pairs)
 
+        from collections import deque
+
         results = {}
         pending = []  # (basename, future) in input order
         t_start = time.perf_counter()
         with pool, ThreadPoolExecutor(max_workers=decode_workers) as dpool:
             prepped = prep_map(zip(image_paths, ocr_paths))
             buf, buf_paths = [], []
-            inflight = None  # (device_out, pages, paths, t_dispatch)
+            inflight = deque()  # (device_out, pages, paths, t_dispatch)
 
             def collect():
-                nonlocal inflight
-                if inflight is None:
-                    return
-                out_dev, pages, paths, t0 = inflight
-                inflight = None
+                out_dev, pages, paths, t0 = inflight.popleft()
                 out = self._jax.device_get(out_dev)
                 if self._packed:
                     out = dec.unpack_spots(*out)
@@ -406,17 +411,18 @@ class InferenceService:
                         visualize_dir)))
 
             def flush():
-                # double buffering: launch this batch, THEN fetch the
-                # previous one while the device works — hides dispatch RTT
-                nonlocal inflight
+                # launch this batch, THEN fetch the oldest in-flight one
+                # while the device works — hides dispatch RTT and keeps
+                # the device queue non-empty across host GIL stalls
                 if not buf:
                     return
                 out_dev = self.dispatch_batch(buf)
-                pages, paths = list(buf), list(buf_paths)
+                inflight.append((out_dev, list(buf), list(buf_paths),
+                                 time.perf_counter()))
                 buf.clear()
                 buf_paths.clear()
-                collect()
-                inflight = (out_dev, pages, paths, time.perf_counter())
+                if len(inflight) > max(1, inflight_depth):
+                    collect()
 
             for img, page in zip(image_paths, prepped):
                 buf.append(page)
@@ -424,7 +430,8 @@ class InferenceService:
                 if len(buf) == self.batch_size:
                     flush()
             flush()
-            collect()
+            while inflight:
+                collect()
             for name, fut in pending:
                 results[name] = fut.result()
         n = len(image_paths)

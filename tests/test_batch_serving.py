@@ -68,6 +68,12 @@ def test_batched_matches_per_page(serving_setup):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+    # pipeline depth must not change results (1 = classic double buffer,
+    # 3 = deeper than the 3-batch run, exercising the full drain loop)
+    for depth in (1, 3):
+        rd = svc2.run(img_dir, ocr_dir, inflight_depth=depth)
+        assert {k: v["kv_pairs"] for k, v in rd.items()} == \
+               {k: v["kv_pairs"] for k, v in r2.items()}
 
 
 def test_ocr_pairing_by_stem(serving_setup, tmp_path):

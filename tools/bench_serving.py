@@ -104,6 +104,9 @@ def main(argv=None):
                    help="reuse/keep assets here instead of a temp dir")
     p.add_argument("--profile_host", action="store_true",
                    help="cProfile the serving loop and print top host costs")
+    p.add_argument("--inflight_depth", type=int, default=2,
+                   help="batches kept in flight on the device (see "
+                        "InferenceService.run)")
     args = p.parse_args(argv)
 
     root = args.keep_dir or tempfile.mkdtemp(prefix="peneo_serve_bench_")
@@ -136,7 +139,8 @@ def main(argv=None):
         prof.enable()
     t0 = time.perf_counter()
     results = svc.run(img_dir, ocr_dir, workers=args.workers,
-                      preprocess_procs=args.preprocess_procs)
+                      preprocess_procs=args.preprocess_procs,
+                      inflight_depth=args.inflight_depth)
     dt = time.perf_counter() - t0
     if prof is not None:
         prof.disable()
