@@ -48,6 +48,10 @@ def main(argv=None):
                         "to GIL contention)")
     p.add_argument("--decode_workers", type=int, default=2,
                    help="host-decode threads (kept off the dispatch thread)")
+    p.add_argument("--inflight_depth", type=int, default=2,
+                   help="batches kept in flight on the device; 2 absorbs "
+                        "host GIL jitter that starves the chip at depth 1 "
+                        "(+5-10%% e2e measured)")
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned worker processes instead "
                         "of threads (escapes the GIL that caps the thread "
@@ -87,7 +91,8 @@ def main(argv=None):
                           visualize_dir=args.dir_visualize,
                           workers=args.workers,
                           decode_workers=args.decode_workers,
-                          preprocess_procs=args.preprocess_procs)
+                          preprocess_procs=args.preprocess_procs,
+                          inflight_depth=args.inflight_depth)
     with open(args.dir_save, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=1)
     print(f"[peneo] wrote {args.dir_save}")
