@@ -101,9 +101,12 @@ def biacm_attention(
     kernel = functools.partial(_kernel, scale_t=float(scale_t),
                                scale_l=float(scale_l))
     flops = 2 * B * nh * L * L * (dt + dl) * 2
+    cp = _compiler_params(_vmem_bytes(L, tile_q, dt, dl,
+                                      q_t.dtype.itemsize, False))
     return pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=cp,
         in_specs=[
             q_spec(dt), kv_spec(dt), kv_spec(dt),
             q_spec(dl), kv_spec(dl), kv_spec(dl),
@@ -211,6 +214,58 @@ def biacm_attention_train_sharded(
 def _keep_thr(rate: float) -> int:
     """uint32 threshold t with P(bits < t) = 1 - rate for uniform bits."""
     return min(int(round((1.0 - rate) * 4294967296.0)), 4294967295)
+
+
+def _vmem_bytes(L: int, tile: int, dt: int, dl: int, itemsize: int,
+                with_grads: bool) -> int:
+    """Scoped-VMEM estimate for one fused-BiACM kernel invocation.
+
+    Calibrated against real Mosaic compile errors at L=4096 (24.28 MB at
+    tile 128, 19.08 MB at tile 64 for the backward ⇒ ~5.2 live (TQ, L)
+    fp32 temporaries + ~14 MB of double-buffered (L, d) kv blocks, fp32
+    dk/dv accumulators and scratch). Deliberately a mild underestimate;
+    callers multiply by 1.5 before handing it to the compiler."""
+    kv = 2 * 2 * L * (dt + dl) * itemsize          # k+v blocks, dbuf
+    acc = (2 * 2 * L * (dt + dl) * 4) if with_grads else 0  # fp32 dk/dv
+    temps = 7 * tile * L * 4                       # live (TQ, L) fp32
+    return kv + acc + temps + (1 << 20)            # + q/bias/out tiles
+
+
+# Mosaic's default scoped-VMEM limit; requests beyond it need an explicit
+# vmem_limit_bytes (v5e has 128 MiB of VMEM per core — the default is a
+# conservative fraction that long-context kernels legitimately exceed).
+_DEFAULT_VMEM_LIMIT = 16 * 2 ** 20
+_MAX_VMEM_LIMIT = 100 * 2 ** 20
+
+
+def _compiler_params(est_bytes: int):
+    """Raise the scoped-VMEM limit when the estimate needs it (L ≥ ~4096);
+    None keeps the default and stays friendly to small-VMEM TPU gens."""
+    want = int(est_bytes * 1.5)
+    if want <= _DEFAULT_VMEM_LIMIT:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(want, _MAX_VMEM_LIMIT))
+
+
+def _auto_tile_q(L: int, tile_q: int, dt: int = 64, dl: int = 16,
+                 itemsize: int = 2) -> int:
+    """Largest query tile ≤ ``tile_q`` (multiple of 8, dividing L) whose
+    backward-kernel working set fits under the raised VMEM ceiling
+    (est × 1.5 ≤ 100 MB of the v5e's 128 MiB). The default tile 128
+    survives through L=8192; extreme lengths shrink it as a backstop.
+
+    The fwd/bwd kernel PAIR must share one tile: the in-kernel hardware
+    PRNG draws mask bits per (seed, grid cell) with the tile's shape, so
+    differing tiles would give the backward different dropout masks than
+    the forward actually applied."""
+    budget = int(_MAX_VMEM_LIMIT / 1.5)
+    t = min(tile_q, max(8, L // 8 * 8))
+    t -= t % 8
+    while t > 8 and (L % t or
+                     _vmem_bytes(L, t, dt, dl, itemsize, True) > budget):
+        t -= 8
+    return max(t, 8)
 
 
 def _coupled_probs(qt_ref, kt_ref, ql_ref, kl_ref, bias_ref,
@@ -392,6 +447,8 @@ def _train_fwd_call(q_t, k_t, v_t, q_l, k_l, v_l, bias, rng,
     return pl.pallas_call(
         kernel,
         grid=(B, nh, L // tile_q),
+        compiler_params=_compiler_params(_vmem_bytes(
+            L, tile_q, dt, dl, q_t.dtype.itemsize, False)),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
@@ -425,6 +482,8 @@ def _train_bwd_call(q_t, k_t, v_t, q_l, k_l, v_l, bias, rng, dct, dcl,
     dqt, dql, dkt, dvt, dkl, dvl = pl.pallas_call(
         kernel,
         grid=(B, nh, L // tile_q),
+        compiler_params=_compiler_params(_vmem_bytes(
+            L, tile_q, dt, dl, q_t.dtype.itemsize, True)),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
@@ -480,9 +539,10 @@ def biacm_attention_train(
 
     (custom_vjp takes positional args only, hence this wrapper.)
     """
+    tile_q = _auto_tile_q(q_t.shape[2], int(tile_q))
     return _biacm_train(q_t, k_t, v_t, q_l, k_l, v_l, bias, rng,
                         float(scale_t), float(scale_l), float(rate),
-                        int(tile_q), bool(interpret), bool(inkernel_rng))
+                        tile_q, bool(interpret), bool(inkernel_rng))
 
 
 def _train_vjp_fwd(q_t, k_t, v_t, q_l, k_l, v_l, bias, rng,

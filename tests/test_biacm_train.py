@@ -248,3 +248,61 @@ def test_fused_train_kernel_composes_with_remat():
         jax.tree_util.tree_map(
             lambda a, b: np.allclose(a, b, rtol=1e-5, atol=1e-5), g0, g1))
     assert all(ok), "remat changes fused-train grads"
+
+
+def test_auto_tile_q_and_vmem_limit():
+    """Long-context VMEM guard: tile 128 at L=4096 measured 24.28 MB of
+    scoped VMEM against Mosaic's 16 MB default on a real v5e. The fix is
+    two-layered: raise vmem_limit_bytes from the calibrated estimate (the
+    v5e has 128 MiB of VMEM), and shrink the tile only at extreme lengths
+    where even the raised ceiling would be exceeded. Short serving lengths
+    must keep compiler_params=None (the tuned L≤2048 path is untouched)."""
+    from peneo_tpu.ops.biacm_attention import (
+        _auto_tile_q, _compiler_params, _vmem_bytes)
+
+    # tile 128 survives the practical long-context range
+    for L in (512, 2048, 4096, 8192):
+        assert _auto_tile_q(L, 128) == 128, L
+    assert _auto_tile_q(16384, 128) < 128  # backstop engages eventually
+    for L in (256, 512, 768, 1024, 3072, 4096, 8192, 16384):
+        t = _auto_tile_q(L, 128)
+        assert t % 8 == 0 and L % t == 0 and t <= 128
+        # backward working set stays under the raised ceiling
+        assert _vmem_bytes(L, t, 64, 16, 2, True) * 1.5 <= 100 * 2 ** 20
+
+    # estimate must cover the two real Mosaic measurements (L=4096 bwd)
+    assert _vmem_bytes(4096, 128, 64, 16, 2, True) * 1.5 >= 24.28 * 2 ** 20
+    assert _vmem_bytes(4096, 64, 64, 16, 2, True) * 1.5 >= 19.08 * 2 ** 20
+
+    # serving lengths keep the compiler default (no behavior change)
+    assert _compiler_params(_vmem_bytes(512, 128, 64, 16, 2, False)) is None
+    assert _compiler_params(_vmem_bytes(2048, 128, 64, 16, 2, False)) is None
+    cp = _compiler_params(_vmem_bytes(4096, 128, 64, 16, 2, True))
+    assert cp is not None and cp.vmem_limit_bytes <= 100 * 2 ** 20
+
+
+def test_tile_q_does_not_change_values_or_grads():
+    """The auto-shrunk tile must be semantics-free: values and grads agree
+    across tile sizes (rate=0 covers the VJP math; the explicit-bits
+    dropout form is tile-independent by construction since the bits come
+    from (B, nh, L, L) arrays sliced per tile)."""
+    args = _inputs(11)
+    seed = jnp.zeros((1,), jnp.int32)
+    rng = np.random.default_rng(13)
+    wt = jnp.asarray(rng.normal(size=(B, NH, L, DT)).astype(np.float32))
+    wl = jnp.asarray(rng.normal(size=(B, NH, L, DL)).astype(np.float32))
+
+    def loss(tile):
+        def f(*qkv):
+            ct, cl = biacm_attention_train(*qkv, args[6], seed,
+                                           SCALE_T, SCALE_L, rate=0.0,
+                                           tile_q=tile, interpret=True)
+            return (ct * wt).sum() + (cl * wl).sum()
+        return f
+
+    v128, g128 = jax.value_and_grad(loss(128), argnums=(0, 1))(*args[:6])
+    v32, g32 = jax.value_and_grad(loss(32), argnums=(0, 1))(*args[:6])
+    np.testing.assert_allclose(float(v128), float(v32), rtol=1e-5)
+    for a, b in zip(g128, g32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
