@@ -68,6 +68,14 @@ def main(argv=None):
                    help="additionally quantize the backbone's projection/"
                         "MLP matmuls to int8 (all three text encoders; "
                         "the v2 conv tower stays full precision)")
+    p.add_argument("--bucket_lengths", type=str, default=None,
+                   help="comma-separated sequence-length buckets (e.g. "
+                        "'128,256,384'); pages batch with same-bucket pages "
+                        "and pad only to their bucket instead of "
+                        "max_seq_len — the O(L^2) pair grid makes short "
+                        "pages much cheaper. Multiples of 128 keep the "
+                        "fused BiACM kernel engaged; max_seq_len is always "
+                        "appended as the overflow bucket")
     args = p.parse_args(argv)
 
     from peneo_tpu.pipeline.infer import InferenceService
@@ -84,6 +92,8 @@ def main(argv=None):
         fused_biacm=False if args.no_fused_biacm else None,
         int8_pair_head=args.int8_pair_head,
         int8_backbone=args.int8_backbone,
+        bucket_lengths=[int(b) for b in args.bucket_lengths.split(",")]
+        if args.bucket_lengths else None,
     )
     if not args.apply_ocr and args.dir_ocr is None:
         p.error("--dir_ocr is required unless --apply_ocr is set")

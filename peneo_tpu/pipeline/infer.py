@@ -39,6 +39,11 @@ from .preprocess import (  # noqa: F401
 class InferenceService:
     """Load a trained PEneo-TPU model and run page → kv-pair extraction."""
 
+    # default for instances assembled attribute-by-attribute via __new__
+    # (deploy/inference_artifact.py — exported artifacts have one fixed
+    # shape, so bucketing stays a live-serving feature)
+    bucket_lengths = None
+
     def __init__(
         self,
         model_name_or_path: str,
@@ -53,6 +58,7 @@ class InferenceService:
         fused_biacm: Optional[bool] = None,
         int8_pair_head: bool = False,
         int8_backbone: bool = False,
+        bucket_lengths=None,
     ) -> None:
         """``dp``/``tp``/``sp`` > 1 serve over a ``jax.sharding.Mesh``: the
         page batch shards over dp chips, the attention/MLP/pair-head kernels
@@ -106,6 +112,25 @@ class InferenceService:
             - int(self.info.add_sep_token))
         self.score_thresh = score_thresh
         self.batch_size = batch_size
+        # Length-bucketed serving: the pair grid is O(L²), so a page with
+        # 150 tokens padded to L=512 pays ~11× its pair-head FLOPs. With
+        # ``bucket_lengths`` the directory runner groups pages by real
+        # token length and pads each batch only to the smallest bucket
+        # that fits (one cached XLA executable per bucket — static shapes,
+        # retraced once each). The reference always pads to 512
+        # (deploy/inference.py:318-335). Buckets should be multiples of
+        # 128 so the fused BiACM kernel stays engaged (models/lilt.py L%128
+        # gate); others still run via the XLA attention path.
+        if bucket_lengths:
+            bl = sorted({int(b) for b in bucket_lengths
+                         if 0 < int(b) <= self.cfg.max_seq_len})
+            if not bl:
+                raise ValueError(
+                    f"bucket_lengths {bucket_lengths!r} has no entry in "
+                    f"(0, max_seq_len={self.cfg.max_seq_len}]")
+            if bl[-1] != self.cfg.max_seq_len:
+                bl.append(self.cfg.max_seq_len)  # overflow bucket
+            self.bucket_lengths = bl
 
         if tokenizer is None:
             from ..registry import load_tokenizer
@@ -231,18 +256,36 @@ class InferenceService:
             score_thresh=self.score_thresh)
         return kv_pairs, lines
 
-    def dispatch_batch(self, page_inputs):
+    def _bucket_for(self, n_rows: int) -> int:
+        """Smallest configured bucket covering ``n_rows`` real token rows
+        (CLS/SEP included); the top bucket is always max_seq_len."""
+        for b in self.bucket_lengths:
+            if n_rows <= b:
+                return b
+        return self.bucket_lengths[-1]
+
+    def dispatch_batch(self, page_inputs, bucket: Optional[int] = None):
         """Stack up to ``batch_size`` preprocessed pages and launch the
         forward asynchronously. Returns the in-flight device output; pair
         with :meth:`collect_batch`. Keeping one batch in flight while the
         previous one is fetched + host-decoded hides the dispatch RTT and
-        overlaps host decode with device compute (double buffering)."""
+        overlaps host decode with device compute (double buffering).
+
+        ``bucket`` truncates the sequence axis to that length before
+        stacking (safe: preprocess pads at the tail, and every page in a
+        bucketed batch has ≤ ``bucket`` real rows)."""
         n = len(page_inputs)
         assert 0 < n <= self.batch_size
+
+        def cut(k, v):
+            # input_ids (L,), bbox (L,4), attention_mask (L,) are L-leading;
+            # image tensors are not sequence-shaped
+            return v[:bucket] if bucket and k != "image" else v
+
         pads = self.batch_size - n
         stacked = {
-            k: np.stack([pi[0][k] for pi in page_inputs]
-                        + [page_inputs[-1][0][k]] * pads)
+            k: np.stack([cut(k, pi[0][k]) for pi in page_inputs]
+                        + [cut(k, page_inputs[-1][0][k])] * pads)
             for k in page_inputs[0][0]
         }
         if self.batch_sharding is not None:
@@ -396,7 +439,11 @@ class InferenceService:
         t_start = time.perf_counter()
         with pool, ThreadPoolExecutor(max_workers=decode_workers) as dpool:
             prepped = prep_map(zip(image_paths, ocr_paths))
-            buf, buf_paths = [], []
+            # one (pages, paths) buffer per length bucket (a single None
+            # bucket when bucketing is off); pages stream into the buffer
+            # their length selects and each dispatches independently, so
+            # the pipeline stays double-buffered across buckets
+            bufs: Dict[Optional[int], tuple] = {}
             inflight = deque()  # (device_out, pages, paths, t_dispatch)
 
             def collect():
@@ -410,26 +457,34 @@ class InferenceService:
                         self._decode_page, out, i, page, dt, img,
                         visualize_dir)))
 
-            def flush():
+            def flush(bucket):
                 # launch this batch, THEN fetch the oldest in-flight one
                 # while the device works — hides dispatch RTT and keeps
                 # the device queue non-empty across host GIL stalls
-                if not buf:
+                pages, paths = bufs.get(bucket, ((), ()))
+                if not pages:
                     return
-                out_dev = self.dispatch_batch(buf)
-                inflight.append((out_dev, list(buf), list(buf_paths),
+                out_dev = self.dispatch_batch(pages, bucket=bucket)
+                inflight.append((out_dev, list(pages), list(paths),
                                  time.perf_counter()))
-                buf.clear()
-                buf_paths.clear()
+                pages.clear()
+                paths.clear()
                 if len(inflight) > max(1, inflight_depth):
                     collect()
 
+            add_cls = int(self.info.add_cls_token)
             for img, page in zip(image_paths, prepped):
-                buf.append(page)
-                buf_paths.append(img)
-                if len(buf) == self.batch_size:
-                    flush()
-            flush()
+                # page[3] is seq_len (grid rows, CLS excluded; SEP already
+                # counted) — total real rows = seq_len + add_cls
+                bucket = (self._bucket_for(page[3] + add_cls)
+                          if self.bucket_lengths else None)
+                pages, paths = bufs.setdefault(bucket, ([], []))
+                pages.append(page)
+                paths.append(img)
+                if len(pages) == self.batch_size:
+                    flush(bucket)
+            for bucket in sorted(bufs, key=lambda b: b or 0):
+                flush(bucket)
             while inflight:
                 collect()
             for name, fut in pending:

@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_assets(root: str, pages: int, L: int, lines_per_page: int):
+def build_assets(root: str, pages: int, L: int, lines_per_page):
     import numpy as np
     from PIL import Image
 
@@ -66,10 +66,16 @@ def build_assets(root: str, pages: int, L: int, lines_per_page: int):
     os.makedirs(ocr_dir, exist_ok=True)
     prng = random.Random(7)
     # render a handful of distinct pages and alias the rest (PIL open cost
-    # is still paid per page; content variety doesn't affect the math)
+    # is still paid per page; content variety doesn't affect the math).
+    # ``lines_per_page`` may be a list (mixed-length corpus): densities
+    # cycle across pages so the bucketed runner sees a realistic spread.
+    densities = (list(lines_per_page)
+                 if isinstance(lines_per_page, (list, tuple))
+                 else [lines_per_page])
     base = []
-    for i in range(min(pages, 16)):
-        doc = make_document(prng, f"b{i}.png", n_pairs=lines_per_page // 2,
+    for i in range(min(pages, max(16, 4 * len(densities)))):
+        lines = densities[i % len(densities)]
+        doc = make_document(prng, f"b{i}.png", n_pairs=max(1, lines // 2),
                             n_noise=2)
         img = Image.fromarray(render_page(doc))
         ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
@@ -91,6 +97,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--L", type=int, default=512)
     p.add_argument("--lines_per_page", type=int, default=24)
+    p.add_argument("--mixed_lines", type=str, default=None,
+                   help="comma-separated line densities cycled across pages "
+                        "(e.g. '4,10,24') — a mixed-length corpus for "
+                        "--bucket_lengths runs; overrides --lines_per_page")
+    p.add_argument("--bucket_lengths", type=str, default=None,
+                   help="comma-separated sequence-length buckets; pages pad "
+                        "only to the smallest covering bucket instead of L "
+                        "(InferenceService bucket_lengths)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
@@ -112,9 +126,11 @@ def main(argv=None):
     root = args.keep_dir or tempfile.mkdtemp(prefix="peneo_serve_bench_")
     made = not (args.keep_dir and os.path.isdir(
         os.path.join(root, "weights")))
+    lines = ([int(x) for x in args.mixed_lines.split(",")]
+             if args.mixed_lines else args.lines_per_page)
     if made:
         wdir, img_dir, ocr_dir, _ = build_assets(
-            root, args.pages, args.L, args.lines_per_page)
+            root, args.pages, args.L, lines)
     else:
         wdir = os.path.join(root, "weights")
         img_dir = os.path.join(root, "images")
@@ -123,13 +139,24 @@ def main(argv=None):
     from peneo_tpu.data.synthetic import ToyTokenizer
     from peneo_tpu.pipeline.infer import InferenceService
 
+    buckets = ([int(b) for b in args.bucket_lengths.split(",")]
+               if args.bucket_lengths else None)
     svc = InferenceService(wdir, tokenizer=ToyTokenizer(),
                            batch_size=args.batch, dtype="bfloat16",
                            dp=args.dp, tp=args.tp, sp=args.sp,
-                           int8_pair_head=args.int8_pair_head)
-    # warm the jit outside the timed run
-    svc.run(os.path.join(img_dir, sorted(os.listdir(img_dir))[0]),
-            os.path.join(ocr_dir, sorted(os.listdir(ocr_dir))[0]))
+                           int8_pair_head=args.int8_pair_head,
+                           bucket_lengths=buckets)
+    # warm the jit outside the timed run — one compile per bucket shape
+    warm_img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    warm_ocr = os.path.join(ocr_dir, sorted(os.listdir(ocr_dir))[0])
+    if svc.bucket_lengths:
+        import jax as _jax
+
+        page = svc.preprocess_page(warm_img, warm_ocr)
+        for b in svc.bucket_lengths:
+            _jax.device_get(svc.dispatch_batch([page], bucket=b))
+    else:
+        svc.run(warm_img, warm_ocr)
 
     prof = None
     if args.profile_host:
@@ -156,6 +183,8 @@ def main(argv=None):
         "batch": args.batch,
         "L": args.L,
         "workers": args.workers,
+        "buckets": svc.bucket_lengths,
+        "mixed_lines": args.mixed_lines,
     }))
     if args.keep_dir is None:
         shutil.rmtree(root, ignore_errors=True)
