@@ -154,6 +154,18 @@ def main(argv=None):
                         "(ops/quant.Int8Dense; 2x bf16 MXU peak)")
     p.add_argument("--int8_backbone", action="store_true",
                    help="additionally quantize the backbone projections/MLPs")
+    p.add_argument("--backbone", default="lilt",
+                   choices=["lilt", "layoutlmv3", "layoutlmv2"],
+                   help="backbone family at base geometry (default: the "
+                        "LiLT flagship the driver records; the others "
+                        "benchmark the fused rel-bias attention kernel)")
+    p.add_argument("--fused_bias_attention", action="store_true", default=None,
+                   help="route LayoutLMv3/v2 attention through the fused "
+                        "rel-bias kernel (default: auto — on for real TPU "
+                        "backends, matching the serving default)")
+    p.add_argument("--no_fused_bias_attention", dest="fused_bias_attention",
+                   action="store_false",
+                   help="force the stock XLA einsum attention path")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
@@ -163,22 +175,37 @@ def main(argv=None):
 
     if args.fused_biacm is None:
         args.fused_biacm = jax.default_backend() == "tpu"
+    if args.fused_bias_attention is None:
+        args.fused_bias_attention = jax.default_backend() == "tpu"
 
-    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
+                                  LiltConfig, PEneoConfig)
     from peneo_tpu.models.peneo import PEneoModel
     from peneo_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    cfg = PEneoConfig(
-        backbone_name="lilt-infoxlm-base",
-        backbone_config=LiltConfig(
+    if args.backbone == "layoutlmv3":
+        bb_name, bb_cfg = "layoutlmv3-base-chinese", LayoutLMv3Config(
             vocab_size=250002, max_position_embeddings=args.L + 8,
             pad_token_id=1,
-            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        ).to_dict(),
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    elif args.backbone == "layoutlmv2":
+        bb_name, bb_cfg = "layoutxlm-base", LayoutLMv2Config(
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    else:
+        bb_name, bb_cfg = "lilt-infoxlm-base", LiltConfig(
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    cfg = PEneoConfig(
+        backbone_name=bb_name,
+        backbone_config=bb_cfg.to_dict(),
         max_seq_len=args.L,
         use_fused_biacm=args.fused_biacm,
+        use_fused_bias_attention=args.fused_bias_attention,
         quantize_pair_head="int8" if args.int8_pair_head else None,
         quantize_backbone="int8" if args.int8_backbone else None,
     )
@@ -222,6 +249,8 @@ def main(argv=None):
     pages_per_sec = bench_variant()
 
     suffix = f"_L{args.L}" if args.L != 512 else "_L512"
+    if args.backbone != "lilt":
+        suffix = f"_{args.backbone}{suffix}"
     print(json.dumps({
         "metric": f"pages_per_sec_per_chip{suffix}_bf16_batch_inference",
         "value": round(pages_per_sec, 2),

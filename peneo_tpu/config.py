@@ -178,6 +178,12 @@ class PEneoConfig:
     # training variant (custom VJP + in-kernel hardware-PRNG dropout);
     # TPU-only when attention dropout is active
     use_fused_biacm_train: bool = False
+    # fused rel-bias attention kernel for LayoutLMv3/v2 (inference only):
+    # q·kᵀ + precomputed rel-pos bias + softmax + p·v in VMEM, the (L, L)
+    # score/prob tensors never round-trip HBM (ops/bias_attention). Falls
+    # back to XLA attention when dropout is active or the padded image-token
+    # length would waste >10% extra score FLOPs.
+    use_fused_bias_attention: bool = False
     gradient_checkpointing: bool = False  # remat backbone layers (memory vs FLOPs)
     # inference: ship only the top-k nonzero triu spots per head to host
     # (0 = dense (L, L) tag/score maps, used by tests/parity)

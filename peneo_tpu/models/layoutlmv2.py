@@ -186,6 +186,10 @@ class Layer(nn.Module):
     cfg: LayoutLMv2Config
     dtype: jnp.dtype = jnp.float32
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
+    # fused rel-bias attention kernel (ops/bias_attention); inference-only,
+    # falls back to the XLA path when dropout is active or L % 128 != 0
+    fused_attention: bool = False
+    mesh: Optional[object] = None  # (dp, tp[, sp]) mesh → shard_map dispatch
 
     @nn.compact
     def __call__(self, x, attn_bias, rel_bias, deterministic: bool):
@@ -218,15 +222,27 @@ class Layer(nn.Module):
         q = q.reshape(B, L, nh, dh)
         k = k.reshape(B, L, nh, dh)
         v = v.reshape(B, L, nh, dh)
-        scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(dh)
-        if rel_bias is not None:
-            scores = scores + rel_bias  # v2 adds biases unscaled
-        scores = scores + attn_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, L, cfg.hidden_size)
+        ctx = None
+        if self.fused_attention:
+            # scores/softmax/p·v fused in VMEM (ops/bias_attention)
+            from ..ops.bias_attention import maybe_fused_ctx
+
+            ctx = maybe_fused_ctx(
+                q, k, v, rel_bias, attn_bias, 1.0 / math.sqrt(dh),
+                deterministic=deterministic,
+                dropout_p=cfg.attention_probs_dropout_prob, mesh=self.mesh)
+        if ctx is None:
+            scores = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k,
+                preferred_element_type=jnp.float32) / math.sqrt(dh)
+            if rel_bias is not None:
+                scores = scores + rel_bias  # v2 adds biases unscaled
+            scores = scores + attn_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhlm,bmhd->blhd", probs,
+                             v).reshape(B, L, cfg.hidden_size)
 
         ctx = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
                      dtype=self.dtype, name="attention_output_dense")(ctx)
@@ -252,6 +268,8 @@ class LayoutLMv2Model(nn.Module):
     # serving-only int8 text-encoder matmuls (ops/quant); the visual conv
     # tower stays full precision
     int8_dense: bool = False
+    fused_attention: bool = False  # fused rel-bias attention (inference)
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -339,6 +357,7 @@ class LayoutLMv2Model(nn.Module):
                      if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
             x = layer_cls(cfg, self.dtype, self.int8_dense,
+                          self.fused_attention, self.mesh,
                           name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 

@@ -121,6 +121,10 @@ class Layer(nn.Module):
     cfg: LayoutLMv3Config
     dtype: jnp.dtype = jnp.float32
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
+    # fused rel-bias attention kernel (ops/bias_attention); inference-only,
+    # falls back to the XLA path when dropout is active or L % 128 != 0
+    fused_attention: bool = False
+    mesh: Optional[object] = None  # (dp, tp[, sp]) mesh → shard_map dispatch
 
     @nn.compact
     def __call__(self, x, attn_bias, rel_bias, deterministic: bool):
@@ -140,16 +144,28 @@ class Layer(nn.Module):
         q = proj(x, "query")
         k = proj(x, "key")
         v = proj(x, "value")
-        scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(dh)
-        if rel_bias is not None:
-            scores = scores + rel_bias  # already /√d (layoutlmv3.py:370-373)
-        scores = scores + attn_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
-        ctx = ctx.reshape(x.shape[0], x.shape[1], cfg.hidden_size)
+        ctx = None
+        if self.fused_attention:
+            # scores/softmax/p·v fused in VMEM — the (B, nh, L, L) score and
+            # prob tensors never round-trip HBM (ops/bias_attention)
+            from ..ops.bias_attention import maybe_fused_ctx
+
+            ctx = maybe_fused_ctx(
+                q, k, v, rel_bias, attn_bias, 1.0 / math.sqrt(dh),
+                deterministic=deterministic,
+                dropout_p=cfg.attention_probs_dropout_prob, mesh=self.mesh)
+        if ctx is None:
+            scores = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k,
+                preferred_element_type=jnp.float32) / math.sqrt(dh)
+            if rel_bias is not None:
+                scores = scores + rel_bias  # already /√d (:370-373)
+            scores = scores + attn_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+            ctx = ctx.reshape(x.shape[0], x.shape[1], cfg.hidden_size)
 
         ctx = qdense(cfg.hidden_size, quant=quant, kernel_init=init,
                      dtype=self.dtype, name="attention_output_dense")(ctx)
@@ -172,6 +188,8 @@ class LayoutLMv3Model(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_layers: bool = False
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
+    fused_attention: bool = False  # fused rel-bias attention (inference)
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -264,6 +282,7 @@ class LayoutLMv3Model(nn.Module):
                      if self.remat_layers else Layer)
         for i in range(cfg.num_hidden_layers):
             x = layer_cls(cfg, self.dtype, self.int8_dense,
+                          self.fused_attention, self.mesh,
                           name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 

@@ -44,6 +44,9 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
         return LayoutLMv3Model(cfg.backbone(), dtype=dtype, remat_layers=remat,
                                int8_dense=getattr(
                                    cfg, "quantize_backbone", None) == "int8",
+                               fused_attention=getattr(
+                                   cfg, "use_fused_bias_attention", False),
+                               mesh=mesh,
                                name="backbone")
     if fam == "layoutlmv2":
         from .layoutlmv2 import LayoutLMv2Model
@@ -53,6 +56,9 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
                                visual_depths=tuple(bc.visual_depths),
                                int8_dense=getattr(
                                    cfg, "quantize_backbone", None) == "int8",
+                               fused_attention=getattr(
+                                   cfg, "use_fused_bias_attention", False),
+                               mesh=mesh,
                                name="backbone")
     raise NotImplementedError(f"backbone family {fam}")
 

@@ -106,6 +106,13 @@ class InferenceService:
                            and _jax.default_backend() == "tpu")
         if fused_biacm:
             self.cfg.use_fused_biacm = True
+        # the single-stream sibling for the rel-bias families
+        # (ops/bias_attention.py): same auto-gate — serving is
+        # deterministic, so the inference-only kernel always applies on
+        # aligned lengths and self-bypasses otherwise (maybe_fused_ctx)
+        if (self.info.family in ("layoutlmv3", "layoutlmv2")
+                and jax.default_backend() == "tpu"):
+            self.cfg.use_fused_bias_attention = True
         self.max_token_len = min(
             self.info.max_token_len,
             self.cfg.max_seq_len - int(self.info.add_cls_token)
