@@ -103,7 +103,7 @@ def reference_pages_per_sec() -> float:
     return value
 
 
-def _random_params(model, ids, bbox, attn, seed=0):
+def _random_params(model, ids, bbox, attn, image=None, seed=0):
     """Random-normal params with the right tree, generated in ONE jitted
     dispatch (a real model.init would compile a second full graph; zeros
     would be weaker evidence — MXU timing is data-independent but random
@@ -111,9 +111,10 @@ def _random_params(model, ids, bbox, attn, seed=0):
     import jax
     import jax.numpy as jnp
 
+    img1 = None if image is None else image[:1]
     pshape = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), ids[:1], bbox[:1], attn[:1],
-                           deterministic=True)["params"])
+                           image=img1, deterministic=True)["params"])
     leaves, treedef = jax.tree_util.tree_flatten(pshape)
 
     @jax.jit
@@ -125,12 +126,17 @@ def _random_params(model, ids, bbox, attn, seed=0):
     return jax.tree_util.tree_unflatten(treedef, gen(jax.random.PRNGKey(seed)))
 
 
-def build_forward(model):
+def build_forward(model, with_image: bool):
     import jax
 
-    def forward(params, ids, bbox, attn):
-        return model.apply({"params": params}, ids, bbox, attn,
-                           deterministic=True)
+    if with_image:
+        def forward(params, ids, bbox, attn, image):
+            return model.apply({"params": params}, ids, bbox, attn,
+                               image=image, deterministic=True)
+    else:
+        def forward(params, ids, bbox, attn):
+            return model.apply({"params": params}, ids, bbox, attn,
+                               deterministic=True)
 
     return jax.jit(forward)
 
@@ -161,11 +167,16 @@ def main(argv=None):
                         "benchmark the fused rel-bias attention kernel)")
     p.add_argument("--fused_bias_attention", action="store_true", default=None,
                    help="route LayoutLMv3/v2 attention through the fused "
-                        "rel-bias kernel (default: auto — on for real TPU "
-                        "backends, matching the serving default)")
+                        "rel-bias kernel (default: off, matching the serving "
+                        "default until a measured win is recorded)")
     p.add_argument("--no_fused_bias_attention", dest="fused_bias_attention",
                    action="store_false",
                    help="force the stock XLA einsum attention path")
+    p.add_argument("--no_image", action="store_true",
+                   help="layoutlmv3/v2 only: drop the synthetic page image "
+                        "so the backbone runs text-only (L stays "
+                        "tile-aligned; isolates the attention-kernel A/B "
+                        "from the visual tower)")
     args = p.parse_args(argv)
 
     ref_pps = reference_pages_per_sec()
@@ -176,7 +187,7 @@ def main(argv=None):
     if args.fused_biacm is None:
         args.fused_biacm = jax.default_backend() == "tpu"
     if args.fused_bias_attention is None:
-        args.fused_bias_attention = jax.default_backend() == "tpu"
+        args.fused_bias_attention = False  # mirror the serving default
 
     from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
                                   LiltConfig, PEneoConfig)
@@ -212,7 +223,14 @@ def main(argv=None):
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     ids, bbox, attn = _inputs(rng, args.B, seq_len=args.L)
-    params = _random_params(model, ids, bbox, attn)
+    # visual families: serving always feeds a page image (v3 appends 197
+    # patch tokens, v2 runs the ResNeXt-FPN tower + 49 tokens), so the bench
+    # synthesizes one too — --no_image isolates the text encoder
+    image = None
+    if args.backbone != "lilt" and not args.no_image:
+        s = bb_cfg.input_size
+        image = rng.standard_normal((args.B, 3, s, s)).astype(np.float32)
+    params = _random_params(model, ids, bbox, attn, image=image)
 
     # pin inputs on device once (int32 halves the wire size vs int64); real
     # serving uploads fresh inputs per batch, but those H2D copies overlap
@@ -220,11 +238,14 @@ def main(argv=None):
     ids_d = jnp.asarray(ids.astype(np.int32))
     bbox_d = jnp.asarray(bbox.astype(np.int32))
     attn_d = jnp.asarray(attn.astype(np.int32))
+    img_d = None if image is None else jnp.asarray(image, jnp.bfloat16)
 
     def bench_variant():
-        fwd = build_forward(model)
+        fwd = build_forward(model, with_image=img_d is not None)
 
         def run_once():
+            if img_d is not None:
+                return fwd(params, ids_d, bbox_d, attn_d, img_d)
             return fwd(params, ids_d, bbox_d, attn_d)
 
         # host fetch is the sync point — block_until_ready alone does not
@@ -250,7 +271,8 @@ def main(argv=None):
 
     suffix = f"_L{args.L}" if args.L != 512 else "_L512"
     if args.backbone != "lilt":
-        suffix = f"_{args.backbone}{suffix}"
+        img_tag = "" if image is not None else "_textonly"
+        suffix = f"_{args.backbone}{img_tag}{suffix}"
     print(json.dumps({
         "metric": f"pages_per_sec_per_chip{suffix}_bf16_batch_inference",
         "value": round(pages_per_sec, 2),

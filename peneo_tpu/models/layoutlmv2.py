@@ -186,8 +186,10 @@ class Layer(nn.Module):
     cfg: LayoutLMv2Config
     dtype: jnp.dtype = jnp.float32
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
-    # fused rel-bias attention kernel (ops/bias_attention); inference-only,
-    # falls back to the XLA path when dropout is active or L % 128 != 0
+    # fused rel-bias attention kernel (ops/bias_attention); inference-only.
+    # maybe_fused_ctx pads L to the next multiple of 64 (v2 serving lengths
+    # are L_text + 49 image tokens) and falls back to the XLA path on any
+    # training forward or when the pad fraction would exceed ~10%
     fused_attention: bool = False
     mesh: Optional[object] = None  # (dp, tp[, sp]) mesh → shard_map dispatch
 

@@ -19,9 +19,10 @@ query-tile)`` the full key/value rows live in VMEM and
 
 so scores and probabilities never round-trip HBM; the bias is streamed
 tile-by-tile exactly once per layer. Inference-only (no attention dropout —
-LayoutLMv3/v2 serving runs deterministic); the gate in
-``models/layoutlmv3.py``/``models/layoutlmv2.py`` falls back to the XLA
-einsum path whenever dropout is active or L is not a multiple of the tile.
+LayoutLMv3/v2 serving runs deterministic); ``maybe_fused_ctx`` below is the
+gate — it pads L to the next multiple of 64 (visual families leave L
+unaligned: v2 +49, v3 +197 image tokens) and falls back to the XLA einsum
+path on any training forward or when padding would exceed ``max_pad_frac``.
 """
 
 from __future__ import annotations
@@ -122,8 +123,9 @@ def maybe_fused_ctx(q, k, v, rel_bias, attn_bias, scale, *,
     precomputed (B, nh, L, L) relative-position bias, ``attn_bias`` the
     (B, 1, 1, L) extended attention mask. Returns the (B, L, nh·d) context
     via the fused kernel, or ``None`` when the kernel does not apply
-    (attention dropout active, or no rel bias — a bias-free config where
-    XLA's plain attention is already fine).
+    (non-deterministic/training forward, no rel bias — a bias-free config
+    where XLA's plain attention is already fine — or a mesh whose dp/tp
+    axes don't divide the batch/head counts).
 
     Visual backbones append image tokens (v2: +49, v3: +197), leaving L
     unaligned to the TPU tile. The wrapper pads keys/queries to the next
@@ -135,8 +137,20 @@ def maybe_fused_ctx(q, k, v, rel_bias, attn_bias, scale, *,
     B, L, nh, d = q.shape
     if rel_bias is None:
         return None
-    if not (deterministic or dropout_p == 0.0):
+    if not deterministic:
+        # inference-only: this kernel has no custom VJP (unlike
+        # ops/biacm_attention's train variant), so even a dropout_p == 0.0
+        # training forward must take the differentiable XLA path
         return None
+    del dropout_p  # serving is deterministic; kept for call-site symmetry
+    if mesh is not None:
+        dp_ = mesh.shape.get("dp", 1)
+        tp_ = mesh.shape.get("tp", 1)
+        if dp_ * tp_ > 1 and (B % dp_ or nh % tp_):
+            # shard_map needs dp|B and tp|nh (nh=12 for both families) —
+            # fall back to the GSPMD-partitionable XLA path instead of
+            # tripping bias_attention_sharded's assert at trace time
+            return None
     lp = -(-L // 64) * 64
     if lp > L * (1.0 + max_pad_frac):
         return None

@@ -56,6 +56,7 @@ class InferenceService:
         tp: int = 1,
         sp: int = 1,
         fused_biacm: Optional[bool] = None,
+        fused_bias_attention: Optional[bool] = None,
         int8_pair_head: bool = False,
         int8_backbone: bool = False,
         bucket_lengths=None,
@@ -107,11 +108,15 @@ class InferenceService:
         if fused_biacm:
             self.cfg.use_fused_biacm = True
         # the single-stream sibling for the rel-bias families
-        # (ops/bias_attention.py): same auto-gate — serving is
-        # deterministic, so the inference-only kernel always applies on
-        # aligned lengths and self-bypasses otherwise (maybe_fused_ctx)
-        if (self.info.family in ("layoutlmv3", "layoutlmv2")
-                and jax.default_backend() == "tpu"):
+        # (ops/bias_attention.py). Unlike fused_biacm, auto means OFF until
+        # an on-TPU parity check + bench win is recorded in docs §8 (the
+        # project rule: measured wins before default flips — flash attention
+        # and the pair-head kernel both looked good and lost). Engage
+        # explicitly via the ctor / CLI flag.
+        if fused_bias_attention is None:
+            fused_bias_attention = False
+        if (fused_bias_attention
+                and self.info.family in ("layoutlmv3", "layoutlmv2")):
             self.cfg.use_fused_bias_attention = True
         self.max_token_len = min(
             self.info.max_token_len,
