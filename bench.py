@@ -167,8 +167,9 @@ def main(argv=None):
                         "benchmark the fused rel-bias attention kernel)")
     p.add_argument("--fused_bias_attention", action="store_true", default=None,
                    help="route LayoutLMv3/v2 attention through the fused "
-                        "rel-bias kernel (default: off, matching the serving "
-                        "default until a measured win is recorded)")
+                        "rel-bias kernel (default: auto — on for real TPU "
+                        "backends, matching the serving default; measured "
+                        "+17-25%% on v5e, docs §8)")
     p.add_argument("--no_fused_bias_attention", dest="fused_bias_attention",
                    action="store_false",
                    help="force the stock XLA einsum attention path")
@@ -187,7 +188,8 @@ def main(argv=None):
     if args.fused_biacm is None:
         args.fused_biacm = jax.default_backend() == "tpu"
     if args.fused_bias_attention is None:
-        args.fused_bias_attention = False  # mirror the serving default
+        # mirror the serving default (pipeline/infer.py): on for real TPUs
+        args.fused_bias_attention = jax.default_backend() == "tpu"
 
     from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
                                   LiltConfig, PEneoConfig)

@@ -60,9 +60,15 @@ def main(argv=None):
                    help="disable the fused BiACM attention kernel (on by "
                         "default for LiLT on TPU; +7-8%% serving throughput)")
     p.add_argument("--fused_bias_attention", action="store_true",
+                   default=None,
                    help="route LayoutLMv3/v2 attention through the fused "
-                        "rel-bias kernel (ops/bias_attention; off by "
-                        "default — see docs §8 for when it pays)")
+                        "rel-bias kernel (ops/bias_attention; default auto "
+                        "— ON for TPU backends, measured +17-25%% on v5e, "
+                        "docs §8)")
+    p.add_argument("--no_fused_bias_attention", dest="fused_bias_attention",
+                   action="store_false",
+                   help="force the stock XLA einsum attention path for "
+                        "LayoutLMv3/v2")
     p.add_argument("--int8_pair_head", action="store_true",
                    help="quantize the pair head's dominant matmuls to int8 "
                         "(s8xs8->s32 on the MXU, 2x bf16 peak); per-row "
@@ -94,7 +100,7 @@ def main(argv=None):
         tp=args.tp,
         sp=args.sp,
         fused_biacm=False if args.no_fused_biacm else None,
-        fused_bias_attention=args.fused_bias_attention or None,
+        fused_bias_attention=args.fused_bias_attention,
         int8_pair_head=args.int8_pair_head,
         int8_backbone=args.int8_backbone,
         bucket_lengths=[int(b) for b in args.bucket_lengths.split(",")]

@@ -108,13 +108,16 @@ class InferenceService:
         if fused_biacm:
             self.cfg.use_fused_biacm = True
         # the single-stream sibling for the rel-bias families
-        # (ops/bias_attention.py). Unlike fused_biacm, auto means OFF until
-        # an on-TPU parity check + bench win is recorded in docs §8 (the
-        # project rule: measured wins before default flips — flash attention
-        # and the pair-head kernel both looked good and lost). Engage
-        # explicitly via the ctor / CLI flag.
+        # (ops/bias_attention.py). Auto = ON for TPU: measured on v5e
+        # (docs §8) — LayoutLMv3 L=512(+197 img tokens) 97.5 → 114.5
+        # pages/s (+17.5%), LayoutLMv2 L=512(+49) B=16 104.6 → 123.8
+        # (+18.4%), v3 L=2048 9.8 → 12.2 (+24.7%); on-TPU parity
+        # rel ≤ 7e-4 at the real serving shapes (tools/
+        # check_bias_attention.py). Opt out via the ctor / CLI flag.
         if fused_bias_attention is None:
-            fused_bias_attention = False
+            import jax as _jax
+
+            fused_bias_attention = _jax.default_backend() == "tpu"
         if (fused_bias_attention
                 and self.info.family in ("layoutlmv3", "layoutlmv2")):
             self.cfg.use_fused_bias_attention = True
