@@ -184,6 +184,10 @@ class PEneoConfig:
     # back to XLA attention when dropout is active or the padded image-token
     # length would waste >10% extra score FLOPs.
     use_fused_bias_attention: bool = False
+    # training variant for the rel-bias families (custom VJP + in-kernel
+    # hardware-PRNG dropout + dbias into the trained bias tables);
+    # TPU-only when attention dropout is active
+    use_fused_bias_attention_train: bool = False
     gradient_checkpointing: bool = False  # remat backbone layers (memory vs FLOPs)
     # inference: ship only the top-k nonzero triu spots per head to host
     # (0 = dense (L, L) tag/score maps, used by tests/parity)

@@ -121,12 +121,16 @@ class Layer(nn.Module):
     cfg: LayoutLMv3Config
     dtype: jnp.dtype = jnp.float32
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
-    # fused rel-bias attention kernel (ops/bias_attention); inference-only.
-    # maybe_fused_ctx pads L to the next multiple of 64 (v3 serving lengths
-    # are L_text + 197 image tokens) and falls back to the XLA path on any
-    # training forward or when the pad fraction would exceed ~10%
+    # fused rel-bias attention kernel (ops/bias_attention). The inference
+    # kernel has no VJP, so maybe_fused_ctx refuses any non-deterministic
+    # forward; training forwards instead go through fused_attention_train
+    # (custom-VJP pair, in-kernel hardware-PRNG dropout, dbias = dS flows
+    # into the bias tables). Both gates pad L to the next multiple of 64
+    # (v3 serving lengths are L_text + 197 image tokens) and fall back to
+    # the XLA path when the pad fraction would exceed ~10%
     fused_attention: bool = False
     mesh: Optional[object] = None  # (dp, tp[, sp]) mesh → shard_map dispatch
+    fused_attention_train: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, rel_bias, deterministic: bool):
@@ -147,7 +151,7 @@ class Layer(nn.Module):
         k = proj(x, "key")
         v = proj(x, "value")
         ctx = None
-        if self.fused_attention:
+        if self.fused_attention and deterministic:
             # scores/softmax/p·v fused in VMEM — the (B, nh, L, L) score and
             # prob tensors never round-trip HBM (ops/bias_attention)
             from ..ops.bias_attention import maybe_fused_ctx
@@ -156,6 +160,22 @@ class Layer(nn.Module):
                 q, k, v, rel_bias, attn_bias, 1.0 / math.sqrt(dh),
                 deterministic=deterministic,
                 dropout_p=cfg.attention_probs_dropout_prob, mesh=self.mesh)
+        elif self.fused_attention_train and not deterministic:
+            # differentiable fused kernel (custom VJP); the dropout mask is
+            # drawn by the TPU hardware PRNG inside the kernels and the
+            # trained rel-bias gets its gradient from the backward's dbias
+            from ..ops.bias_attention import maybe_fused_ctx_train
+
+            rate = float(cfg.attention_probs_dropout_prob)
+            if rate > 0.0 and jax.default_backend() == "tpu":
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx = maybe_fused_ctx_train(
+                q, k, v, rel_bias, attn_bias, 1.0 / math.sqrt(dh),
+                rate=rate, seed=seed, mesh=self.mesh)
         if ctx is None:
             scores = jnp.einsum(
                 "blhd,bmhd->bhlm", q, k,
@@ -192,6 +212,7 @@ class LayoutLMv3Model(nn.Module):
     int8_dense: bool = False  # serving-only int8 matmuls (ops/quant)
     fused_attention: bool = False  # fused rel-bias attention (inference)
     mesh: Optional[object] = None
+    fused_attention_train: bool = False  # custom-VJP kernel for training
 
     @nn.compact
     def __call__(
@@ -285,6 +306,7 @@ class LayoutLMv3Model(nn.Module):
         for i in range(cfg.num_hidden_layers):
             x = layer_cls(cfg, self.dtype, self.int8_dense,
                           self.fused_attention, self.mesh,
+                          fused_attention_train=self.fused_attention_train,
                           name=f"layer_{i}")(
                 x, attn_bias, rel_bias, deterministic)
 

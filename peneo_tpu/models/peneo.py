@@ -46,6 +46,9 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
                                    cfg, "quantize_backbone", None) == "int8",
                                fused_attention=getattr(
                                    cfg, "use_fused_bias_attention", False),
+                               fused_attention_train=getattr(
+                                   cfg, "use_fused_bias_attention_train",
+                                   False),
                                mesh=mesh,
                                name="backbone")
     if fam == "layoutlmv2":
@@ -58,6 +61,9 @@ def build_backbone(cfg: PEneoConfig, dtype, mesh=None):
                                    cfg, "quantize_backbone", None) == "int8",
                                fused_attention=getattr(
                                    cfg, "use_fused_bias_attention", False),
+                               fused_attention_train=getattr(
+                                   cfg, "use_fused_bias_attention_train",
+                                   False),
                                mesh=mesh,
                                name="backbone")
     raise NotImplementedError(f"backbone family {fam}")

@@ -160,9 +160,13 @@ class PEneoTrainer:
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
         if (self.mesh.shape["dp"] * self.mesh.shape["tp"] > 1
                 and (getattr(cfg, "use_fused_biacm", False)
-                     or getattr(cfg, "use_fused_biacm_train", False))):
-            # fused BiACM pallas kernels under dp/tp run via shard_map
-            # (models/lilt.py); the module needs the mesh to do that
+                     or getattr(cfg, "use_fused_biacm_train", False)
+                     or getattr(cfg, "use_fused_bias_attention", False)
+                     or getattr(cfg, "use_fused_bias_attention_train",
+                                False))):
+            # fused pallas kernels under dp/tp run via shard_map
+            # (models/lilt.py, models/layoutlmv3.py/v2); the module needs
+            # the mesh to do that
             self.model = model = self.model.clone(mesh=self.mesh)
 
         self.optimizer = T.make_optimizer(

@@ -92,6 +92,23 @@ def build_argparser() -> argparse.ArgumentParser:
                         "max_seq_len %% 128 == 0")
     p.add_argument("--no_fused_biacm_train", dest="fused_biacm_train",
                    action="store_false")
+    p.add_argument("--fused_bias_attention_train", action="store_true",
+                   default=None,
+                   help="train LayoutLMv3/v2 attention with the fused "
+                        "rel-bias kernel (custom VJP, in-kernel hardware-"
+                        "PRNG dropout, dbias into the trained bias tables; "
+                        "ops/bias_attention). Default: auto — on for TPU "
+                        "v3/v2 runs (the gate itself handles the +197/+49 "
+                        "image-token pad and falls back to XLA attention "
+                        "past a 10%% pad fraction)")
+    p.add_argument("--no_fused_bias_attention_train",
+                   dest="fused_bias_attention_train", action="store_false")
+    p.add_argument("--quantize_pair_head", type=str, default=None,
+                   choices=["int8"],
+                   help="quantize the pair head's matmuls on eval forwards "
+                        "(s8×s8→s32, ops/quant) — for measuring the decoded-"
+                        "F1 delta of the int8 serving mode on a trained "
+                        "checkpoint; training stays full precision")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host run: jax.distributed.initialize() with "
                         "auto-detected topology (TPU pods/GKE); the "
@@ -146,6 +163,23 @@ def resolve_fused_biacm_train(args, family: str,
     backend = backend or jax.default_backend()
     return (backend == "tpu" and family == "lilt"
             and args.max_seq_len % 128 == 0)
+
+
+def resolve_fused_bias_attention_train(args, family: str,
+                                       backend=None) -> bool:
+    """Tri-state --fused_bias_attention_train → bool.
+
+    Auto (None): on for TPU LayoutLMv3/v2 runs. No max_seq_len alignment
+    requirement — maybe_fused_ctx_train pads to the next multiple of 64
+    itself (the visual families always run unaligned: +197/+49 image
+    tokens) and falls back to XLA attention past a 10% pad fraction, so
+    the flag is safe to leave on for any geometry."""
+    if getattr(args, "fused_bias_attention_train", None) is not None:
+        return bool(args.fused_bias_attention_train)
+    import jax
+
+    backend = backend or jax.default_backend()
+    return backend == "tpu" and family in ("layoutlmv3", "layoutlmv2")
 
 
 def setup(args, dataset_cls_name="rfund"):
@@ -243,6 +277,14 @@ def setup(args, dataset_cls_name="rfund"):
         # same gate ⇒ eval/serving forwards (deterministic) also take the
         # fused kernel, via its no-dropout inference variant
         cfg.use_fused_biacm = True
+    cfg.use_fused_bias_attention_train = fused_bias_train = \
+        resolve_fused_bias_attention_train(args, get_family(cfg))
+    if fused_bias_train:
+        cfg.use_fused_bias_attention = True  # eval forwards, same rationale
+    if getattr(args, "quantize_pair_head", None):
+        # deterministic (eval) forwards only — the decoder gate keeps
+        # training full precision (models/decoder.py)
+        cfg.quantize_pair_head = args.quantize_pair_head
 
     model = PEneoModel(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
