@@ -400,6 +400,64 @@ def decode_pred_sample(
     return decode_sample(text, spots, bbox=bbox, score_thresh=score_thresh)
 
 
+def slice_page_outputs(
+    head_outputs: Dict[str, Dict[str, np.ndarray]], sample_idx: int,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """One page's slice of a batch's device outputs (length-1 batch axis).
+
+    Cheap views — used by the serving decode-process path to ship only the
+    page's own compact spots across the process boundary instead of the
+    whole batch (InferenceService.run(decode_procs=N))."""
+    return {name: {k: v[sample_idx:sample_idx + 1] for k, v in head.items()}
+            for name, head in head_outputs.items()}
+
+
+def decode_page_record(
+    texts: Sequence[str],
+    head_outputs: Dict[str, Dict[str, np.ndarray]],
+    sample_idx: int,
+    seq_len: int,
+    dt: float,
+    img_path: Optional[str] = None,
+    visualize_dir: Optional[str] = None,
+    score_thresh: float = 0.0,
+    bbox: Optional[Sequence[Sequence[float]]] = None,
+):
+    """One serving page's host decode → JSON-ready result record.
+
+    Mirrors the reference's per-page result assembly
+    (deploy/inference.py:407-447: kv pairs + line records + seconds,
+    optional visualization). Module-level and jax-free so
+    ``InferenceService.run(decode_procs=N)`` can execute it in spawned
+    worker processes — the GIL a decode THREAD holds for the python parts
+    of the walk (numpy prep, text assembly, record building) is exactly
+    what steals dispatch-thread time at steady state (docs §8: the
+    ~7% residual vs the compute-bound roof)."""
+    kv_pairs, lines, *_ = decode_pred_sample(
+        texts, head_outputs, sample_idx, seq_len, bbox=bbox,
+        score_thresh=score_thresh)
+    record = {
+        "kv_pairs": [
+            {"key": k, "value": v,
+             "key_box": [float(x) for x in kb],
+             "value_box": [float(x) for x in vb]}
+            for k, v, kb, vb in kv_pairs
+        ],
+        "lines": [{"text": t, "box": [float(x) for x in b]}
+                  for t, b in lines],
+        "seconds": dt,
+    }
+    if visualize_dir:
+        import os
+
+        from ..utils.visualize import draw_page
+
+        os.makedirs(visualize_dir, exist_ok=True)
+        draw_page(img_path, kv_pairs, lines,
+                  os.path.join(visualize_dir, os.path.basename(img_path)))
+    return record
+
+
 def spots_from_label_matrices(
     labels: Dict[str, np.ndarray], sample_idx: int, seq_len: int
 ) -> Dict[str, List[Spot]]:

@@ -336,33 +336,15 @@ class InferenceService:
     def _decode_page(self, out_host, idx, page, dt, img_path, visualize_dir):
         """One page's host decode → result record (runs on the decode pool)."""
         _, texts, orig_bbox, seq_len = page
-        kv_pairs, lines, *_ = dec.decode_pred_sample(
-            texts, out_host, idx, seq_len, bbox=orig_bbox,
-            score_thresh=self.score_thresh)
-        record = {
-            "kv_pairs": [
-                {"key": k, "value": v,
-                 "key_box": [float(x) for x in kb],
-                 "value_box": [float(x) for x in vb]}
-                for k, v, kb, vb in kv_pairs
-            ],
-            "lines": [{"text": t, "box": [float(x) for x in b]}
-                      for t, b in lines],
-            "seconds": dt,
-        }
-        if visualize_dir:
-            from ..utils.visualize import draw_page
-
-            os.makedirs(visualize_dir, exist_ok=True)
-            draw_page(img_path, kv_pairs, lines,
-                      os.path.join(visualize_dir,
-                                   os.path.basename(img_path)))
-        return record
+        return dec.decode_page_record(
+            texts, out_host, idx, seq_len, dt, img_path, visualize_dir,
+            self.score_thresh, orig_bbox)
 
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None,
             workers: int = 4, decode_workers: int = 2,
-            preprocess_procs: int = 0, inflight_depth: int = 2) -> Dict[str, Dict]:
+            preprocess_procs: int = 0, inflight_depth: int = 2,
+            decode_procs: int = 0) -> Dict[str, Dict]:
         """Batch inference over a directory: pages are preprocessed in a
         worker pool and fed ``batch_size`` at a time (the north-star
         batch-serving path; per-page mode is ``batch_size=1``).
@@ -390,7 +372,20 @@ class InferenceService:
         processes only when per-page host work is genuinely heavy (visual
         backbones decoding+resizing page images, slow tokenizers).
         Workers import only the jax-free pipeline/preprocess.py (never a
-        device client)."""
+        device client).
+
+        ``decode_procs`` > 0 likewise moves per-page DECODE into spawned
+        worker processes. The native chain-walk itself already releases
+        the GIL (a ctypes.CDLL foreign call drops it for the call's
+        duration by construction), but the python around it — numpy spot
+        prep, text assembly, record building — does not, and at steady
+        state those decode-thread slices are what delays the dispatch
+        thread (docs §8: ~7% residual vs the 271 pages/s compute-bound
+        roof). Each worker receives only its page's spot slices
+        (decode.slice_page_outputs — a few KB) and returns the JSON-ready
+        record; pickling runs on the executor's feeder thread, not the
+        dispatch thread. Workers import only the jax-free
+        pipeline/decode.py."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
@@ -449,10 +444,19 @@ class InferenceService:
 
         from collections import deque
 
+        if decode_procs > 0:
+            import multiprocessing as mp
+
+            dpool_cm = ProcessPoolExecutor(
+                max_workers=decode_procs,
+                mp_context=mp.get_context("spawn"))
+        else:
+            dpool_cm = ThreadPoolExecutor(max_workers=decode_workers)
+
         results = {}
         pending = []  # (basename, future) in input order
         t_start = time.perf_counter()
-        with pool, ThreadPoolExecutor(max_workers=decode_workers) as dpool:
+        with pool, dpool_cm as dpool:
             prepped = prep_map(zip(image_paths, ocr_paths))
             # one (pages, paths) buffer per length bucket (a single None
             # bucket when bucketing is off); pages stream into the buffer
@@ -468,9 +472,17 @@ class InferenceService:
                     out = dec.unpack_spots(*out)
                 dt = (time.perf_counter() - t0) / len(pages)
                 for i, (img, page) in enumerate(zip(paths, pages)):
-                    pending.append((os.path.basename(img), dpool.submit(
-                        self._decode_page, out, i, page, dt, img,
-                        visualize_dir)))
+                    if decode_procs > 0:
+                        _, texts, orig_bbox, seq_len = page
+                        fut = dpool.submit(
+                            dec.decode_page_record, texts,
+                            dec.slice_page_outputs(out, i), 0, seq_len,
+                            dt, img, visualize_dir, self.score_thresh,
+                            orig_bbox)
+                    else:
+                        fut = dpool.submit(self._decode_page, out, i,
+                                           page, dt, img, visualize_dir)
+                    pending.append((os.path.basename(img), fut))
 
             def flush(bucket):
                 # launch this batch, THEN fetch the oldest in-flight one

@@ -109,6 +109,9 @@ def main(argv=None):
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
                         "instead of --workers threads")
+    p.add_argument("--decode_procs", type=int, default=0,
+                   help="host-decode in N spawned processes instead of "
+                        "threads (removes decode GIL slices from dispatch)")
     p.add_argument("--int8_pair_head", action="store_true",
                    help="serve with the int8-quantized pair head")
     p.add_argument("--dp", type=int, default=1)
@@ -167,7 +170,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     results = svc.run(img_dir, ocr_dir, workers=args.workers,
                       preprocess_procs=args.preprocess_procs,
-                      inflight_depth=args.inflight_depth)
+                      inflight_depth=args.inflight_depth,
+                      decode_procs=args.decode_procs)
     dt = time.perf_counter() - t0
     if prof is not None:
         prof.disable()
