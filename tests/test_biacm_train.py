@@ -147,106 +147,77 @@ def test_dropout_grads_match_reference_with_same_bits():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-def test_lilt_train_step_with_fused_train_kernel_rate0():
-    """A full LiLT train-step grad with fused_biacm_train on (attention
-    dropout 0 so the CPU/interpret path is legal) matches the XLA path."""
-    from peneo_tpu.config import LiltConfig, PEneoConfig
-    from peneo_tpu.models.peneo import PEneoModel
+def _lilt_model_grads(fused_train, remat=False, seed=23):
+    """LiltModel grads under loss=(last_hidden·w).sum().
 
-    def cfg(fused):
-        return PEneoConfig(
-            backbone_name="lilt-infoxlm-base",
-            backbone_config=LiltConfig(
-                vocab_size=64, hidden_size=48, num_hidden_layers=2,
-                num_attention_heads=2, intermediate_size=64,
-                max_position_embeddings=512, max_2d_position_embeddings=1024,
-                channel_shrink_ratio=4, pad_token_id=1,
-                hidden_dropout_prob=0.1,
-                attention_probs_dropout_prob=0.0).to_dict(),
-            max_seq_len=128, max_spots_per_head=16,
-            use_fused_biacm_train=fused)
+    Model-level on purpose: through the full PEneo decoder this tiny
+    geometry attenuates backbone grads to ~1e-8 — far below any sane
+    comparison atol, so a full-PEneoModel grad comparison passes for ANY
+    two attention implementations. The dense loss keeps every grad O(1),
+    including the layout stream's (the coupled BiACM scores feed both).
 
-    rng = np.random.default_rng(23)
+    All dropout 0: the two attention implementations instantiate
+    different numbers of unnamed nn.Dropout modules, which shifts flax's
+    auto-numbered rng paths — with rates >0 the variants draw DIFFERENT
+    hidden-dropout masks (a legitimate stream change, not a grad bug)."""
+    from peneo_tpu.config import LiltConfig
+    from peneo_tpu.models.lilt import LiltModel
+
+    cfg = LiltConfig(
+        vocab_size=64, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=512, max_2d_position_embeddings=1024,
+        channel_shrink_ratio=4, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    rng = np.random.default_rng(seed)
     ids = jnp.asarray(rng.integers(2, 64, (2, 128)).astype(np.int32))
     bbox = jnp.asarray(rng.integers(0, 1000, (2, 128, 4)).astype(np.int32))
     attn = jnp.ones((2, 128), jnp.int32)
-    labels = {  # pair grids are (L-1, L-1): the CLS row/col is stripped
-        h: jnp.zeros((2, 127, 127), jnp.int32)
-        for h in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
-                  "line_grouping_h2h", "line_grouping_t2t")
-    }
+    w = None
 
-    def grads(fused):
-        model = PEneoModel(cfg(fused), dtype=jnp.float32)
-        params = model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            ids, bbox, attn, deterministic=True)["params"]
+    model = LiltModel(cfg, dtype=jnp.float32, remat_layers=remat,
+                      fused_biacm_train=fused_train)
+    params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                        deterministic=True)["params"]
+    hs = model.apply({"params": params}, ids, bbox, attn,
+                     deterministic=True)["last_hidden_state"]
+    w = jnp.asarray(rng.normal(size=hs.shape).astype(np.float32))
 
-        def loss_fn(p):
-            out = model.apply({"params": p}, ids, bbox, attn,
-                              labels=labels, deterministic=False,
-                              rngs={"dropout": jax.random.PRNGKey(7)})
-            return out["total"]
+    def loss_fn(p):
+        out = model.apply({"params": p}, ids, bbox, attn,
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return (out["last_hidden_state"] * w).sum()
 
-        return params, jax.grad(loss_fn)(params)
+    return jax.grad(loss_fn)(params)
 
-    p0, g0 = grads(False)
-    p1, g1 = grads(True)
-    chex = jax.tree_util.tree_leaves(
-        jax.tree_util.tree_map(
-            lambda a, b: np.allclose(a, b, rtol=5e-4, atol=5e-4), g0, g1))
-    assert all(chex), "fused-train grads diverge from XLA path at rate=0"
+
+def test_lilt_train_grads_with_fused_train_kernel_rate0():
+    """LiltModel grads with fused_biacm_train on (attention dropout 0 so
+    the CPU/interpret path is legal) match the XLA path, at O(1) grad
+    magnitudes (see _lilt_model_grads on why not through the decoder)."""
+    g0 = _lilt_model_grads(False)
+    g1 = _lilt_model_grads(True)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    gmax = max(float(np.abs(np.asarray(a)).max()) for _kp, a in flat0)
+    assert gmax > 1e-1, f"grads ~0 ({gmax:.2e}) — comparison vacuous"
+    bad = [jax.tree_util.keystr(kp) for kp, a in flat0
+           if not np.allclose(a, flat1[kp], rtol=2e-3, atol=2e-3)]
+    assert not bad, f"fused-train grads diverge from XLA path: {bad}"
 
 
 def test_fused_train_kernel_composes_with_remat():
     """gradient_checkpointing (nn.remat over LiltLayer) replays the fused
     kernel's forward during backward; the custom VJP must survive that and
-    produce the same grads as the non-remat fused path."""
-    from peneo_tpu.config import LiltConfig, PEneoConfig
-    from peneo_tpu.models.peneo import PEneoModel
-
-    def cfg(remat):
-        return PEneoConfig(
-            backbone_name="lilt-infoxlm-base",
-            backbone_config=LiltConfig(
-                vocab_size=64, hidden_size=48, num_hidden_layers=2,
-                num_attention_heads=2, intermediate_size=64,
-                max_position_embeddings=512, max_2d_position_embeddings=1024,
-                channel_shrink_ratio=4, pad_token_id=1,
-                hidden_dropout_prob=0.0,
-                attention_probs_dropout_prob=0.0).to_dict(),
-            max_seq_len=128, max_spots_per_head=16,
-            use_fused_biacm_train=True, gradient_checkpointing=remat)
-
-    rng = np.random.default_rng(29)
-    ids = jnp.asarray(rng.integers(2, 64, (2, 128)).astype(np.int32))
-    bbox = jnp.asarray(rng.integers(0, 1000, (2, 128, 4)).astype(np.int32))
-    attn = jnp.ones((2, 128), jnp.int32)
-    labels = {
-        h: jnp.zeros((2, 127, 127), jnp.int32)
-        for h in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
-                  "line_grouping_h2h", "line_grouping_t2t")
-    }
-
-    def grads(remat):
-        model = PEneoModel(cfg(remat), dtype=jnp.float32)
-        params = model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            ids, bbox, attn, deterministic=True)["params"]
-
-        def loss_fn(p):
-            out = model.apply({"params": p}, ids, bbox, attn,
-                              labels=labels, deterministic=False,
-                              rngs={"dropout": jax.random.PRNGKey(7)})
-            return out["total"]
-
-        return jax.grad(loss_fn)(params)
-
-    g0 = grads(False)
-    g1 = grads(True)
+    produce the same grads as the non-remat fused path. Grads are O(1)
+    here, so remat's fp reassociation noise (~1e-7 relative) needs a
+    relative tolerance."""
+    g0 = _lilt_model_grads(True, remat=False, seed=29)
+    g1 = _lilt_model_grads(True, remat=True, seed=29)
     ok = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(
-            lambda a, b: np.allclose(a, b, rtol=1e-5, atol=1e-5), g0, g1))
+            lambda a, b: np.allclose(a, b, rtol=1e-4, atol=5e-4), g0, g1))
     assert all(ok), "remat changes fused-train grads"
 
 

@@ -167,69 +167,130 @@ def test_maybe_fused_ctx_train_padded_grads_match_xla():
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
-def _v3_cfg(fused_train, L, remat=False):
-    from peneo_tpu.config import LayoutLMv3Config, PEneoConfig
+def _v3_model_grads(fused_train, L, remat=False, seed=23):
+    """LayoutLMv3Model grads under loss=(last_hidden·w).sum().
 
-    return PEneoConfig(
-        backbone_name="layoutlmv3-base",
-        backbone_config=LayoutLMv3Config(
-            vocab_size=64, hidden_size=48, num_hidden_layers=2,
-            num_attention_heads=2, intermediate_size=64, pad_token_id=1,
-            max_position_embeddings=L + 8,
-            coordinate_size=8, shape_size=8,
-            hidden_dropout_prob=0.1,
-            attention_probs_dropout_prob=0.0).to_dict(),
-        max_seq_len=L, max_spots_per_head=16,
-        use_fused_bias_attention_train=fused_train,
-        gradient_checkpointing=remat)
+    Model-level on purpose: through the full PEneo decoder the tiny test
+    geometry attenuates backbone grads to ~1e-8 and the rel-bias tables'
+    to ~1e-12 — far below any sane comparison atol, so a full-PEneoModel
+    grad comparison passes for ANY two attention implementations (found
+    the hard way). The dense loss keeps every grad O(1), including the
+    bucketed rel_pos/rel_2d tables fed by the kernel's dbias.
 
+    All dropout 0: the two attention implementations instantiate different
+    numbers of unnamed nn.Dropout modules, which shifts flax's
+    auto-numbered rng paths — with rates >0 the variants draw DIFFERENT
+    hidden-dropout masks (a legitimate stream change, not a grad bug)."""
+    from peneo_tpu.config import LayoutLMv3Config
+    from peneo_tpu.models.layoutlmv3 import LayoutLMv3Model
 
-def _v3_grads(cfg, L, dropout_seed=7):
-    from peneo_tpu.models.peneo import PEneoModel
-
-    rng = np.random.default_rng(23)
+    cfg = LayoutLMv3Config(
+        vocab_size=64, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, pad_token_id=1,
+        max_position_embeddings=L + 8, coordinate_size=8, shape_size=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    rng = np.random.default_rng(seed)
     ids = jnp.asarray(rng.integers(2, 64, (2, L)).astype(np.int32))
     bbox = jnp.asarray(rng.integers(0, 1000, (2, L, 4)).astype(np.int32))
     attn = jnp.ones((2, L), jnp.int32)
-    labels = {
-        h: jnp.zeros((2, L - 1, L - 1), jnp.int32)
-        for h in ("line_extraction", "ent_linking_h2h", "ent_linking_t2t",
-                  "line_grouping_h2h", "line_grouping_t2t")
-    }
-    model = PEneoModel(cfg, dtype=jnp.float32)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        ids, bbox, attn, deterministic=True)["params"]
+    w = jnp.asarray(rng.normal(size=(2, L, 48)).astype(np.float32))
+
+    model = LayoutLMv3Model(cfg, dtype=jnp.float32, remat_layers=remat,
+                            fused_attention_train=fused_train)
+    params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                        deterministic=True)["params"]
 
     def loss_fn(p):
         out = model.apply({"params": p}, ids, bbox, attn,
-                          labels=labels, deterministic=False,
-                          rngs={"dropout": jax.random.PRNGKey(dropout_seed)})
-        return out["total"]
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return (out["last_hidden_state"] * w).sum()
 
     return jax.grad(loss_fn)(params)
 
 
-def test_v3_train_step_with_fused_train_kernel_rate0():
-    """Full LayoutLMv3 train-step grads with fused_attention_train on
-    (attention dropout 0 → CPU/interpret path legal) match the XLA path —
-    including the rel_pos/rel_2d bias tables' grads, which flow through
-    the kernel's dbias output. L=120 exercises the pad-to-64 wrapper."""
-    g0 = _v3_grads(_v3_cfg(False, 120), 120)
-    g1 = _v3_grads(_v3_cfg(True, 120), 120)
+def test_v3_train_grads_with_fused_train_kernel_rate0():
+    """LayoutLMv3 model grads with fused_attention_train on (attention
+    dropout 0 → CPU/interpret path legal) match the XLA path — including
+    the rel_pos/rel_2d bias tables' grads, which flow through the kernel's
+    dbias output. L=120 exercises the pad-to-64 wrapper (→128)."""
+    g0 = _v3_model_grads(False, 120)
+    g1 = _v3_model_grads(True, 120)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    relmax = max(float(np.abs(np.asarray(g0["rel_pos_bias"])).max()),
+                 float(np.abs(np.asarray(g0["rel_pos_x_bias"])).max()))
+    assert relmax > 1e-2, f"rel-bias table grads ~0 ({relmax:.2e}) — vacuous"
+    bad = [jax.tree_util.keystr(kp) for kp, a in flat0
+           if not np.allclose(a, flat1[kp], rtol=2e-3, atol=2e-3)]
+    assert not bad, f"fused-train grads diverge from XLA path: {bad}"
+
+
+def test_v2_train_grads_with_fused_train_kernel_rate0():
+    """LayoutLMv2 got the same fused-train code path as v3
+    (models/layoutlmv2.py Layer); grad-check it at the model level:
+    fused_attention_train=True vs the XLA einsum path, deterministic=False,
+    all dropout rates 0 → CPU/interpret legal AND rng-stream-neutral (the
+    XLA path instantiates an extra unnamed nn.Dropout for attention probs,
+    which shifts flax's auto-numbered dropout rng paths — with rates >0 the
+    two implementations draw different hidden-dropout masks, a legitimate
+    stream change, not a grad bug).
+    v2 always appends its 7×7=49 visual-pool tokens, so text L=71 → 120
+    exercises the pad-to-64 wrapper (→128, 6.25% pad).
+    Covers the rel_pos/rel_2d bias-table grads via the kernel's dbias."""
+    from peneo_tpu.config import LayoutLMv2Config
+    from peneo_tpu.models.layoutlmv2 import LayoutLMv2Model
+
+    cfg_d = dict(
+        vocab_size=120, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=200, coordinate_size=8, shape_size=8,
+        pad_token_id=0, fast_qkv=True, image_feature_pool_shape=[7, 7, 16],
+    )
+    cfg = LayoutLMv2Config.from_dict(cfg_d)
+    rng = np.random.default_rng(41)
+    L = 71  # + 49 visual-pool tokens = 120 → padded to 128
+    ids = rng.integers(3, 120, (2, L)).astype(np.int32)
+    ids[1, -5:] = 0
+    attn = (ids != 0).astype(np.int32)
+    x0 = rng.integers(0, 900, (2, L))
+    y0 = rng.integers(0, 900, (2, L))
+    bbox = np.stack([x0, y0, x0 + 40, y0 + 20], -1).astype(np.int32)
+    bbox[ids == 0] = 0
+    w = jnp.asarray(rng.normal(size=(2, L + 49, 48)).astype(np.float32))
+
+    def grads(fused_train):
+        model = LayoutLMv2Model(cfg, dtype=jnp.float32,
+                                fused_attention_train=fused_train)
+        params = model.init(jax.random.PRNGKey(0), ids, bbox, attn,
+                            deterministic=True)["params"]
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, ids, bbox, attn, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(11)})
+            return (out["last_hidden_state"] * w).sum()
+
+        return jax.grad(loss_fn)(params)
+
+    g0 = grads(False)
+    g1 = grads(True)
     flat0 = jax.tree_util.tree_leaves_with_path(g0)
     flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
     bad = [jax.tree_util.keystr(kp) for kp, a in flat0
            if not np.allclose(a, flat1[kp], rtol=5e-4, atol=5e-4)]
-    assert not bad, f"fused-train grads diverge from XLA path: {bad}"
+    assert not bad, f"v2 fused-train grads diverge from XLA path: {bad}"
 
 
 def test_v3_fused_train_composes_with_remat():
-    g0 = _v3_grads(_v3_cfg(True, 128, remat=False), 128)
-    g1 = _v3_grads(_v3_cfg(True, 128, remat=True), 128)
+    g0 = _v3_model_grads(True, 128, remat=False)
+    g1 = _v3_model_grads(True, 128, remat=True)
+    # grads are O(1)-O(1e3) here; remat recomputes the forward in the
+    # backward, so fp reassociation noise ~1e-7 relative is expected
     ok = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(
-            lambda a, b: np.allclose(a, b, rtol=1e-5, atol=1e-5), g0, g1))
+            lambda a, b: np.allclose(a, b, rtol=1e-4, atol=5e-4), g0, g1))
     assert all(ok), "remat changes fused-train grads"
 
 
