@@ -56,10 +56,6 @@ def main(argv=None):
                    help="preprocess in N spawned worker processes instead "
                         "of threads (escapes the GIL that caps the thread "
                         "pool; ~1 s spawn cost, wins on large directories)")
-    p.add_argument("--decode_procs", type=int, default=0,
-                   help="host-decode in N spawned worker processes instead "
-                        "of --decode_workers threads (removes the decode "
-                        "threads' GIL slices from the dispatch thread)")
     p.add_argument("--no_fused_biacm", action="store_true",
                    help="disable the fused BiACM attention kernel (on by "
                         "default for LiLT on TPU; +7-8%% serving throughput)")
@@ -117,8 +113,7 @@ def main(argv=None):
                           workers=args.workers,
                           decode_workers=args.decode_workers,
                           preprocess_procs=args.preprocess_procs,
-                          inflight_depth=args.inflight_depth,
-                          decode_procs=args.decode_procs)
+                          inflight_depth=args.inflight_depth)
     with open(args.dir_save, "w", encoding="utf-8") as f:
         json.dump(results, f, ensure_ascii=False, indent=1)
     print(f"[peneo] wrote {args.dir_save}")

@@ -400,18 +400,6 @@ def decode_pred_sample(
     return decode_sample(text, spots, bbox=bbox, score_thresh=score_thresh)
 
 
-def slice_page_outputs(
-    head_outputs: Dict[str, Dict[str, np.ndarray]], sample_idx: int,
-) -> Dict[str, Dict[str, np.ndarray]]:
-    """One page's slice of a batch's device outputs (length-1 batch axis).
-
-    Cheap views — used by the serving decode-process path to ship only the
-    page's own compact spots across the process boundary instead of the
-    whole batch (InferenceService.run(decode_procs=N))."""
-    return {name: {k: v[sample_idx:sample_idx + 1] for k, v in head.items()}
-            for name, head in head_outputs.items()}
-
-
 def decode_page_record(
     texts: Sequence[str],
     head_outputs: Dict[str, Dict[str, np.ndarray]],
@@ -427,12 +415,10 @@ def decode_page_record(
 
     Mirrors the reference's per-page result assembly
     (deploy/inference.py:407-447: kv pairs + line records + seconds,
-    optional visualization). Module-level and jax-free so
-    ``InferenceService.run(decode_procs=N)`` can execute it in spawned
-    worker processes — the GIL a decode THREAD holds for the python parts
-    of the walk (numpy prep, text assembly, record building) is exactly
-    what steals dispatch-thread time at steady state (docs §8: the
-    ~7% residual vs the compute-bound roof)."""
+    optional visualization). Runs on the serving decode THREAD pool —
+    a decode process pool was built, measured and removed (docs §8
+    removal record): IPC serialization cost more host CPU than the
+    python decode slices it freed, at every measured configuration."""
     kv_pairs, lines, *_ = decode_pred_sample(
         texts, head_outputs, sample_idx, seq_len, bbox=bbox,
         score_thresh=score_thresh)

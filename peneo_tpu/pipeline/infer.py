@@ -343,8 +343,8 @@ class InferenceService:
     def run(self, image_dir: str, ocr_dir: Optional[str] = None,
             visualize_dir: Optional[str] = None,
             workers: int = 4, decode_workers: int = 2,
-            preprocess_procs: int = 0, inflight_depth: int = 2,
-            decode_procs: int = 0) -> Dict[str, Dict]:
+            preprocess_procs: int = 0,
+            inflight_depth: int = 2) -> Dict[str, Dict]:
         """Batch inference over a directory: pages are preprocessed in a
         worker pool and fed ``batch_size`` at a time (the north-star
         batch-serving path; per-page mode is ``batch_size=1``).
@@ -374,18 +374,13 @@ class InferenceService:
         Workers import only the jax-free pipeline/preprocess.py (never a
         device client).
 
-        ``decode_procs`` > 0 likewise moves per-page DECODE into spawned
-        worker processes. The native chain-walk itself already releases
-        the GIL (a ctypes.CDLL foreign call drops it for the call's
-        duration by construction), but the python around it — numpy spot
-        prep, text assembly, record building — does not, and at steady
-        state those decode-thread slices are what delays the dispatch
-        thread (docs §8: ~7% residual vs the 271 pages/s compute-bound
-        roof). Each worker receives only its page's spot slices
-        (decode.slice_page_outputs — a few KB) and returns the JSON-ready
-        record; pickling runs on the executor's feeder thread, not the
-        dispatch thread. Workers import only the jax-free
-        pipeline/decode.py."""
+        Decode stays on THREADS by measurement (docs §8 removal record):
+        a decode process pool lost at every configuration (best 217 vs 233
+        pages/s steady at 256 pages even with jax-free prespawned workers
+        and one pickle per batch) — the native chain-walk already releases
+        the GIL (ctypes.CDLL foreign calls drop it by construction), the
+        dispatch thread is transfer/compute-bound, and IPC serialization
+        costs more host CPU than the python decode slices it removes."""
         image_paths = sorted(
             os.path.join(image_dir, f) for f in os.listdir(image_dir)) \
             if os.path.isdir(image_dir) else [image_dir]
@@ -422,18 +417,24 @@ class InferenceService:
 
         from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
+        from .preprocess import jaxfree_spawn_env, prespawn
+
         if preprocess_procs > 0:
             import multiprocessing as mp
 
             from .preprocess import _init_worker, _preprocess_task
 
             # spawn (never fork): this process holds an initialized device
-            # client, which must not leak into workers
-            pool = ProcessPoolExecutor(
-                max_workers=preprocess_procs,
-                mp_context=mp.get_context("spawn"),
-                initializer=_init_worker,
-                initargs=(self.page_preprocessor(),))
+            # client, which must not leak into workers. Spawn eagerly with
+            # the sitecustomize TPU gate off — a bare worker interpreter
+            # starts ~8× faster and never dials the (serializing) tunnel.
+            with jaxfree_spawn_env():
+                pool = ProcessPoolExecutor(
+                    max_workers=preprocess_procs,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_init_worker,
+                    initargs=(self.page_preprocessor(),))
+                prespawn(pool, preprocess_procs)
             prep_map = lambda pairs: pool.map(  # noqa: E731
                 _preprocess_task, pairs, chunksize=2)
         else:
@@ -444,14 +445,7 @@ class InferenceService:
 
         from collections import deque
 
-        if decode_procs > 0:
-            import multiprocessing as mp
-
-            dpool_cm = ProcessPoolExecutor(
-                max_workers=decode_procs,
-                mp_context=mp.get_context("spawn"))
-        else:
-            dpool_cm = ThreadPoolExecutor(max_workers=decode_workers)
+        dpool_cm = ThreadPoolExecutor(max_workers=decode_workers)
 
         results = {}
         pending = []  # (basename, future) in input order
@@ -472,16 +466,8 @@ class InferenceService:
                     out = dec.unpack_spots(*out)
                 dt = (time.perf_counter() - t0) / len(pages)
                 for i, (img, page) in enumerate(zip(paths, pages)):
-                    if decode_procs > 0:
-                        _, texts, orig_bbox, seq_len = page
-                        fut = dpool.submit(
-                            dec.decode_page_record, texts,
-                            dec.slice_page_outputs(out, i), 0, seq_len,
-                            dt, img, visualize_dir, self.score_thresh,
-                            orig_bbox)
-                    else:
-                        fut = dpool.submit(self._decode_page, out, i,
-                                           page, dt, img, visualize_dir)
+                    fut = dpool.submit(self._decode_page, out, i,
+                                       page, dt, img, visualize_dir)
                     pending.append((os.path.basename(img), fut))
 
             def flush(bucket):

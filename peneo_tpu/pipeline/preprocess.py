@@ -16,7 +16,10 @@ rebuilt lazily in each worker from the config.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+from concurrent import futures
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Tuple
 
@@ -206,3 +209,31 @@ def _init_worker(prep: PagePreprocessor) -> None:
 
 def _preprocess_task(pair):
     return _WORKER_PREP(*pair)
+
+
+# This environment's sitecustomize initializes the remote-TPU PJRT plugin
+# (a ~1.8 s jax import, and the device tunnel serializes) in EVERY python
+# interpreter it is gated on in — including our spawned workers, which are
+# jax-free by design (0.24 s bare import). Spawn children with the gate
+# off, and force the lazy ProcessPoolExecutor to spawn all workers inside
+# that window instead of at first real submit (mid-pipeline).
+_CHILD_ENV_BLOCKLIST = ("PALLAS_AXON_POOL_IPS",)
+
+
+@contextlib.contextmanager
+def jaxfree_spawn_env():
+    saved = {k: os.environ.pop(k)
+             for k in _CHILD_ENV_BLOCKLIST if k in os.environ}
+    try:
+        yield
+    finally:
+        os.environ.update(saved)
+
+
+def _noop():
+    return None
+
+
+def prespawn(pool, n: int) -> None:
+    """Spawn all ``n`` workers NOW (call inside jaxfree_spawn_env())."""
+    futures.wait([pool.submit(_noop) for _ in range(n)])

@@ -171,21 +171,6 @@ def test_preprocess_procs_matches_threads(serving_setup):
         assert r1[k]["lines"] == r2[k]["lines"], k
 
 
-def test_decode_procs_matches_threads(serving_setup):
-    """run(decode_procs=2) — per-page decode in spawned jax-free worker
-    processes (pipeline/decode.decode_page_record on slice_page_outputs
-    slices) — must reproduce the decode-thread results exactly, records
-    included (`seconds` excepted: it is a wall-clock measurement)."""
-    wdir, img_dir, ocr_dir, tok = serving_setup
-    svc = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=2)
-    r1 = svc.run(img_dir, ocr_dir)
-    r2 = svc.run(img_dir, ocr_dir, decode_procs=2)
-    assert set(r1) == set(r2) and len(r1) == 5
-    for k in r1:
-        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
-        assert r1[k]["lines"] == r2[k]["lines"], k
-
-
 def test_preprocess_procs_visual_backbone(tmp_path):
     """The case --preprocess_procs exists for (per-page image decode+resize
     in the workers): a LayoutLMv3 service must pickle PagePreprocessor

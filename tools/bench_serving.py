@@ -48,6 +48,7 @@ def build_assets(root: str, pages: int, L: int, lines_per_page):
         max_seq_len=L,
     )
     cfg.save_pretrained(wdir)
+    tok.save_pretrained(wdir)  # --keep_dir assets serve via deploy/inference.py too
     model = PEneoModel(cfg, dtype=jnp.float32)
     ids = np.ones((1, L), np.int32)
     params = jax.eval_shape(
@@ -109,9 +110,6 @@ def main(argv=None):
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
                         "instead of --workers threads")
-    p.add_argument("--decode_procs", type=int, default=0,
-                   help="host-decode in N spawned processes instead of "
-                        "threads (removes decode GIL slices from dispatch)")
     p.add_argument("--int8_pair_head", action="store_true",
                    help="serve with the int8-quantized pair head")
     p.add_argument("--dp", type=int, default=1)
@@ -170,8 +168,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     results = svc.run(img_dir, ocr_dir, workers=args.workers,
                       preprocess_procs=args.preprocess_procs,
-                      inflight_depth=args.inflight_depth,
-                      decode_procs=args.decode_procs)
+                      inflight_depth=args.inflight_depth)
     dt = time.perf_counter() - t0
     if prof is not None:
         prof.disable()
