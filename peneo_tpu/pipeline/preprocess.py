@@ -234,6 +234,14 @@ def _noop():
     return None
 
 
+def _worker_env_probe():
+    """(gate env present?, jax imported?) inside a worker — test hook."""
+    import sys
+
+    return (any(k in os.environ for k in _CHILD_ENV_BLOCKLIST),
+            "jax" in sys.modules)
+
+
 def prespawn(pool, n: int) -> None:
     """Spawn all ``n`` workers NOW (call inside jaxfree_spawn_env())."""
     futures.wait([pool.submit(_noop) for _ in range(n)])

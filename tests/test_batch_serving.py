@@ -171,6 +171,36 @@ def test_preprocess_procs_matches_threads(serving_setup):
         assert r1[k]["lines"] == r2[k]["lines"], k
 
 
+def test_worker_spawn_env_is_jaxfree():
+    """Spawned worker processes must start WITHOUT this environment's
+    sitecustomize TPU-plugin import: jaxfree_spawn_env clears the gating
+    env var for the spawn window (1.8 s → 0.24 s per worker measured; a
+    worker dialing the tunnel would also serialize against the parent's
+    device use). Asserts inside a real spawned worker."""
+    import multiprocessing as mp
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    from peneo_tpu.pipeline.preprocess import jaxfree_spawn_env, prespawn
+    from peneo_tpu.pipeline.preprocess import _worker_env_probe
+
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "203.0.113.1")  # test double
+    try:
+        with jaxfree_spawn_env():
+            pool = ProcessPoolExecutor(
+                max_workers=1, mp_context=mp.get_context("spawn"))
+            prespawn(pool, 1)
+        # env restored in the parent after the window
+        assert "PALLAS_AXON_POOL_IPS" in os.environ
+        has_gate, has_jax = pool.submit(_worker_env_probe).result()
+        pool.shutdown()
+        assert not has_gate, "worker inherited the TPU-plugin gate env"
+        assert not has_jax, "worker imported jax at startup"
+    finally:
+        if os.environ.get("PALLAS_AXON_POOL_IPS") == "203.0.113.1":
+            del os.environ["PALLAS_AXON_POOL_IPS"]
+
+
 def test_preprocess_procs_visual_backbone(tmp_path):
     """The case --preprocess_procs exists for (per-page image decode+resize
     in the workers): a LayoutLMv3 service must pickle PagePreprocessor
