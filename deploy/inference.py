@@ -69,11 +69,15 @@ def main(argv=None):
                    action="store_false",
                    help="force the stock XLA einsum attention path for "
                         "LayoutLMv3/v2")
-    p.add_argument("--int8_pair_head", action="store_true",
+    p.add_argument("--int8_pair_head", action="store_true", default=None,
                    help="quantize the pair head's dominant matmuls to int8 "
-                        "(s8xs8->s32 on the MXU, 2x bf16 peak); per-row "
-                        "dynamic activation scales, decode outputs may "
-                        "differ marginally from full precision")
+                        "(s8xs8->s32 on the MXU, 2x bf16 peak; default auto "
+                        "— ON for TPU serving: +7-9%% measured, decoded F1 "
+                        "bit-identical to bf16 on a trained checkpoint, "
+                        "docs §8)")
+    p.add_argument("--no_int8_pair_head", dest="int8_pair_head",
+                   action="store_false",
+                   help="force the exact-parity bf16 pair head")
     p.add_argument("--int8_backbone", action="store_true",
                    help="additionally quantize the backbone's projection/"
                         "MLP matmuls to int8 (all three text encoders; "

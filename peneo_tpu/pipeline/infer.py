@@ -57,7 +57,7 @@ class InferenceService:
         sp: int = 1,
         fused_biacm: Optional[bool] = None,
         fused_bias_attention: Optional[bool] = None,
-        int8_pair_head: bool = False,
+        int8_pair_head: Optional[bool] = None,
         int8_backbone: bool = False,
         bucket_lengths=None,
     ) -> None:
@@ -77,6 +77,15 @@ class InferenceService:
         enable_compile_cache()  # fresh serving processes skip the 1-6 min
         # full-model compile (reference torch eager has no cold start)
         self.cfg = PEneoConfig.from_pretrained(model_name_or_path)
+        if int8_pair_head is None:
+            # Auto = ON for TPU serving (round 4, measured): +6.9% at
+            # L=512 (270.2 → 288.5 pages/s) / +9.1% at L=2048 repeated on
+            # v5e, and decoded held-out P/R/F1 on a trained checkpoint are
+            # BIT-IDENTICAL to bf16 (0.79581/0.79167/0.79373 both ways;
+            # eval losses differ only ~0.3% rel — the quantization noise
+            # never flips a decode decision; docs §8). Opt out via the
+            # ctor / --no_int8_pair_head for exact bf16 logits.
+            int8_pair_head = jax.default_backend() == "tpu" and sp == 1
         if int8_pair_head:
             # quantize the pair head's dominant matmuls to s8×s8→s32
             # (ops/quant.Int8Dense)

@@ -110,8 +110,12 @@ def main(argv=None):
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
                         "instead of --workers threads")
-    p.add_argument("--int8_pair_head", action="store_true",
-                   help="serve with the int8-quantized pair head")
+    p.add_argument("--int8_pair_head", action="store_true", default=None,
+                   help="serve with the int8-quantized pair head (default "
+                        "auto — ON for TPU, the serving default)")
+    p.add_argument("--no_int8_pair_head", dest="int8_pair_head",
+                   action="store_false",
+                   help="force the exact-parity bf16 pair head")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
