@@ -43,6 +43,9 @@ class InferenceService:
     # (deploy/inference_artifact.py — exported artifacts have one fixed
     # shape, so bucketing stays a live-serving feature)
     bucket_lengths = None
+    # raw uint8 image serving (device-side normalize) is a live-service
+    # feature too: exported artifacts were traced with fp32 image inputs
+    raw_image = False
 
     def __init__(
         self,
@@ -194,7 +197,14 @@ class InferenceService:
         if self.info.has_visual_embeds:
             from ..data.image_processing import make_image_loader
 
-            self.image_loader = make_image_loader(self.cfg)
+            # live serving ships resized uint8 pages and normalizes on
+            # device (data/image_processing.device_image_normalize): the
+            # host skips the float conversion/transpose and the per-batch
+            # image upload drops 4× (fp32 602 KB → uint8 150 KB per page —
+            # on this remote transport the upload is serial with dispatch).
+            # Outputs are bit-identical (same IEEE fp32 ops, u8→f32 exact).
+            self.raw_image = True
+            self.image_loader = make_image_loader(self.cfg, raw=True)
 
         # pack the 25 compact-spot output arrays into 2 for the fetch
         # (models/decoder.pack_spots): fewer per-array RTTs on the remote
@@ -202,6 +212,17 @@ class InferenceService:
         # device compute under double buffering) but it removes the
         # per-array latency floor entirely for small batches.
         self._packed = self.cfg.max_spots_per_head > 0
+
+        fam = self.info.family
+
+        def _prep_image(image):
+            # raw-uint8 serving: normalize/transpose in-jit (fuses into the
+            # patch-conv / tower layout); fp32 inputs pass through untouched
+            if image is not None and image.dtype == jnp.uint8:
+                from ..data.image_processing import device_image_normalize
+
+                return device_image_normalize(image, fam)
+            return image
 
         if sp > 1:
             # sequence-parallel serving: the backbone runs under dp/tp GSPMD,
@@ -216,7 +237,7 @@ class InferenceService:
 
             def _fwd(p, ids, bbox, attn, image):
                 pair_in = self.model.apply(
-                    {"params": p}, ids, bbox, attn, image=image,
+                    {"params": p}, ids, bbox, attn, image=_prep_image(image),
                     deterministic=True, return_pair_inputs=True)
                 weights = stack_head_weights(
                     p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
@@ -231,7 +252,7 @@ class InferenceService:
         else:
             def _fwd(p, ids, bbox, attn, image):
                 out = self.model.apply(
-                    {"params": p}, ids, bbox, attn, image=image,
+                    {"params": p}, ids, bbox, attn, image=_prep_image(image),
                     deterministic=True)
                 if self._packed:
                     from ..models.decoder import pack_spots
@@ -255,6 +276,7 @@ class InferenceService:
             add_cls_token=self.info.add_cls_token,
             add_sep_token=self.info.add_sep_token,
             image_cfg=self.cfg if self.image_loader is not None else None,
+            raw_image=self.raw_image,
             _image_loader=self.image_loader)
         return prep
 

@@ -123,6 +123,10 @@ class PagePreprocessor:
     # config to rebuild the image loader from (visual backbones); the loader
     # itself is a closure and is rebuilt lazily per process
     image_cfg: Optional[object] = None
+    # raw=True emits uint8 (H, W, 3) RGB and leaves normalize/transpose to
+    # the device (data/image_processing.device_image_normalize): no host
+    # float conversion, 4× smaller H2D. Bit-identical outputs.
+    raw_image: bool = False
     _image_loader: Optional[Callable] = field(
         default=None, repr=False, compare=False)
 
@@ -135,7 +139,8 @@ class PagePreprocessor:
         if self._image_loader is None and self.image_cfg is not None:
             from ..data.image_processing import make_image_loader
 
-            self._image_loader = make_image_loader(self.image_cfg)
+            self._image_loader = make_image_loader(self.image_cfg,
+                                                   raw=self.raw_image)
         return self._image_loader
 
     def __call__(self, image_path: str, ocr_path: Optional[str]):
@@ -192,7 +197,9 @@ class PagePreprocessor:
                   "attention_mask": attn_arr}
         loader = self.image_loader()
         if loader is not None:
-            arrays["image"] = loader(image_path).astype(np.float32)
+            img = loader(image_path)
+            arrays["image"] = (img if self.raw_image
+                               else img.astype(np.float32))
         seq_len = n - int(self.add_cls_token)
         return arrays, texts, orig_bbox[1 if self.add_cls_token else 0:], \
             seq_len

@@ -253,3 +253,71 @@ def test_preprocess_procs_visual_backbone(tmp_path):
     for k in r1:
         assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
         assert r1[k]["lines"] == r2[k]["lines"], k
+
+
+def test_raw_uint8_image_serving_bit_identical(tmp_path):
+    """Live visual serving ships resized uint8 pages and normalizes on
+    device (data/image_processing.device_image_normalize); spot scores and
+    decoded outputs must be BIT-identical to the host-fp32 loader path —
+    u8→f32 is exact and the normalize ops are the same IEEE fp32 ops."""
+    from peneo_tpu.config import LayoutLMv3Config
+    from peneo_tpu.data.image_processing import make_image_loader
+    from peneo_tpu.data.synthetic import make_document, render_page
+
+    tok = ToyTokenizer()
+    wdir = str(tmp_path / "weights")
+    os.makedirs(wdir)
+    cfg = PEneoConfig(
+        backbone_name="layoutlmv3-base",
+        backbone_config=LayoutLMv3Config(
+            vocab_size=tok.vocab_size, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96, pad_token_id=0,
+            max_position_embeddings=80, input_size=32, patch_size=16,
+            coordinate_size=8, shape_size=8).to_dict(),
+        pair_block_size=16, max_seq_len=48, max_spots_per_head=32)
+    cfg.save_pretrained(wdir)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    ids = np.ones((1, 48), np.int32)
+    params = model.init(
+        jax.random.PRNGKey(3), ids, np.zeros((1, 48, 4), np.int32), ids,
+        image=np.zeros((1, 3, 32, 32), np.float32),
+        deterministic=True)["params"]
+    save_params_msgpack(jax.device_get(params),
+                        os.path.join(wdir, "params.msgpack"))
+
+    from PIL import Image
+
+    img_dir = str(tmp_path / "images")
+    ocr_dir = str(tmp_path / "ocr")
+    os.makedirs(img_dir)
+    os.makedirs(ocr_dir)
+    rng = random.Random(21)
+    for i in range(3):
+        doc = make_document(rng, f"u{i}.png", n_pairs=2, n_noise=1)
+        Image.fromarray(render_page(doc)).save(f"{img_dir}/u{i}.png")
+        ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
+               for e in doc["entities"] for ln in e["lines"]]
+        with open(f"{ocr_dir}/u{i}.json", "w") as f:
+            json.dump(ocr, f)
+
+    svc = InferenceService(wdir, tokenizer=tok, dtype="float32", batch_size=2)
+    assert svc.raw_image  # the live default for visual backbones
+    page = svc.preprocess_page(f"{img_dir}/u0.png", f"{ocr_dir}/u0.json")
+    assert page[0]["image"].dtype == np.uint8
+    r_raw = svc.run(img_dir, ocr_dir)
+
+    # force the legacy host-fp32 loader on the same service: the jitted
+    # forward branches on input dtype at trace time, so both coexist
+    svc.raw_image = False
+    svc.image_loader = make_image_loader(svc.cfg, raw=False)
+    page = svc.preprocess_page(f"{img_dir}/u0.png", f"{ocr_dir}/u0.json")
+    assert page[0]["image"].dtype == np.float32
+    r_f32 = svc.run(img_dir, ocr_dir)
+
+    assert set(r_raw) == set(r_f32) and len(r_raw) == 3
+    for k in r_raw:
+        assert r_raw[k]["kv_pairs"] == r_f32[k]["kv_pairs"], k
+        assert r_raw[k]["lines"] == r_f32[k]["lines"], k
+        # scores too — bit-level, not just decode-level
+        for a, b in zip(r_raw[k]["kv_pairs"], r_f32[k]["kv_pairs"]):
+            assert a == b

@@ -25,14 +25,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_assets(root: str, pages: int, L: int, lines_per_page):
+def build_assets(root: str, pages: int, L: int, lines_per_page,
+                 backbone: str = "lilt"):
     import numpy as np
     from PIL import Image
 
     import jax
     import jax.numpy as jnp
 
-    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
+                                  LiltConfig, PEneoConfig)
     from peneo_tpu.data.synthetic import ToyTokenizer, make_document, render_page
     from peneo_tpu.models.peneo import PEneoModel
     from peneo_tpu.pipeline.checkpoint import save_params_msgpack
@@ -40,21 +42,37 @@ def build_assets(root: str, pages: int, L: int, lines_per_page):
     tok = ToyTokenizer()
     wdir = os.path.join(root, "weights")
     os.makedirs(wdir, exist_ok=True)
+    # base geometry for every family (the dataclass defaults); the visual
+    # families exercise the real serving path — host image decode+resize in
+    # preprocess, patch/ResNeXt tower + rel-bias attention on device
+    if backbone == "layoutlmv3":
+        bb_name, bb_cfg = "layoutlmv3-base-chinese", LayoutLMv3Config(
+            vocab_size=tok.vocab_size, max_position_embeddings=L + 8,
+            pad_token_id=1)
+    elif backbone == "layoutlmv2":
+        bb_name, bb_cfg = "layoutxlm-base", LayoutLMv2Config(
+            vocab_size=tok.vocab_size, max_position_embeddings=L + 8,
+            pad_token_id=1)
+    else:
+        bb_name, bb_cfg = "lilt-infoxlm-base", LiltConfig(
+            vocab_size=tok.vocab_size, max_position_embeddings=L + 8)
     cfg = PEneoConfig(
-        backbone_name="lilt-infoxlm-base",
-        backbone_config=LiltConfig(
-            vocab_size=tok.vocab_size,
-            max_position_embeddings=L + 8).to_dict(),
+        backbone_name=bb_name,
+        backbone_config=bb_cfg.to_dict(),
         max_seq_len=L,
     )
     cfg.save_pretrained(wdir)
     tok.save_pretrained(wdir)  # --keep_dir assets serve via deploy/inference.py too
     model = PEneoModel(cfg, dtype=jnp.float32)
     ids = np.ones((1, L), np.int32)
+    image = None
+    if backbone != "lilt":
+        s = bb_cfg.input_size
+        image = np.zeros((1, 3, s, s), np.float32)
     params = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), ids,
                            np.zeros((1, L, 4), np.int32), ids,
-                           deterministic=True)["params"])
+                           image=image, deterministic=True)["params"])
     rng = np.random.default_rng(0)
     params = jax.tree_util.tree_map(
         lambda s: (rng.normal(0, 0.02, s.shape) * 1.0).astype(s.dtype),
@@ -106,6 +124,15 @@ def main(argv=None):
                    help="comma-separated sequence-length buckets; pages pad "
                         "only to the smallest covering bucket instead of L "
                         "(InferenceService bucket_lengths)")
+    p.add_argument("--backbone", default="lilt",
+                   choices=["lilt", "layoutlmv3", "layoutlmv2"],
+                   help="backbone family at base geometry; the visual "
+                        "families measure the full serving path incl. host "
+                        "image decode+resize and the visual tower")
+    p.add_argument("--no_raw_image", action="store_true",
+                   help="visual families: host-fp32 image loader instead of "
+                        "the raw-uint8 + device-normalize serving default "
+                        "(A/B hook)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--preprocess_procs", type=int, default=0,
                    help="preprocess in N spawned processes (GIL escape) "
@@ -135,7 +162,7 @@ def main(argv=None):
              if args.mixed_lines else args.lines_per_page)
     if made:
         wdir, img_dir, ocr_dir, _ = build_assets(
-            root, args.pages, args.L, lines)
+            root, args.pages, args.L, lines, backbone=args.backbone)
     else:
         wdir = os.path.join(root, "weights")
         img_dir = os.path.join(root, "images")
@@ -151,6 +178,11 @@ def main(argv=None):
                            dp=args.dp, tp=args.tp, sp=args.sp,
                            int8_pair_head=args.int8_pair_head,
                            bucket_lengths=buckets)
+    if args.no_raw_image and svc.image_loader is not None:
+        from peneo_tpu.data.image_processing import make_image_loader
+
+        svc.raw_image = False
+        svc.image_loader = make_image_loader(svc.cfg, raw=False)
     # warm the jit outside the timed run — one compile per bucket shape
     warm_img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
     warm_ocr = os.path.join(ocr_dir, sorted(os.listdir(ocr_dir))[0])
@@ -180,8 +212,9 @@ def main(argv=None):
 
         pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
     n = len(results)
+    tag = "" if args.backbone == "lilt" else f"_{args.backbone}"
     print(json.dumps({
-        "metric": "serving_pages_per_sec_e2e",
+        "metric": f"serving_pages_per_sec_e2e{tag}",
         "value": round(n / dt, 2),
         "unit": "pages/s",
         "pages": n,

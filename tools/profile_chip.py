@@ -52,6 +52,29 @@ def analytic_flops_per_page(L: int, H: int = 768, layers: int = 12,
     return layers * per_layer + decoder
 
 
+def analytic_flops_single_stream(L_text: int, n_vis: int, H: int = 768,
+                                 layers: int = 12, inter: int = 3072,
+                                 shrink: int = 384, n_heads: int = 5) -> float:
+    """Forward FLOPs for a single-stream backbone (LayoutLMv3/v2) + PEneo
+    decoder: standard transformer over L_text + n_vis tokens; the pair grid
+    covers the text tokens only (PEneoModel strips the visual tail). The
+    visual tower (patch conv / ResNeXt) is excluded — it shows up in the
+    rollup as conv time but is small at base geometry."""
+    Lp = L_text + n_vis
+    per_layer = (
+        4 * Lp * H * H * 2          # qkv + out proj
+        + 2 * Lp * H * inter * 2    # MLP
+        + 2 * Lp * Lp * H * 2       # scores + context
+    )
+    decoder = (
+        L_text * H * H * 2 + L_text * H * shrink * 2
+        + 2 * L_text * shrink * shrink * 2
+        + (L_text * L_text // 2) * n_heads * (shrink * shrink * 2
+                                              + shrink * 4 * 2)
+    )
+    return layers * per_layer + decoder
+
+
 CATEGORIES = [
     ("matmul", re.compile(r"dot|conv|gemm|matmul|einsum", re.I)),
     ("softmax/reduce", re.compile(r"softmax|reduce|exponential|divide", re.I)),
@@ -127,6 +150,13 @@ def main():
                         "wall numbers here overstate per-step cost; use the "
                         "trainer's own throughput log for honest steps/s")
     p.add_argument("--logdir", default="/tmp/peneo_profile")
+    p.add_argument("--backbone", default="lilt",
+                   choices=["lilt", "layoutlmv3", "layoutlmv2"],
+                   help="backbone family at base geometry (inference only; "
+                        "--train stays LiLT). Visual families get a "
+                        "synthetic page image, matching serving")
+    p.add_argument("--no_image", action="store_true",
+                   help="layoutlmv3/v2: run text-only (no visual tokens)")
     args = p.parse_args()
 
     import time
@@ -135,21 +165,48 @@ def main():
     import jax.numpy as jnp
 
     import bench as bench_mod
-    from peneo_tpu.config import LiltConfig, PEneoConfig
+    from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
+                                  LiltConfig, PEneoConfig)
     from peneo_tpu.models.peneo import PEneoModel
 
-    cfg = PEneoConfig(
-        backbone_name="lilt-infoxlm-base",
-        backbone_config=LiltConfig(
+    if args.backbone == "layoutlmv3":
+        bb_name, bb_cfg = "layoutlmv3-base-chinese", LayoutLMv3Config(
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    elif args.backbone == "layoutlmv2":
+        bb_name, bb_cfg = "layoutxlm-base", LayoutLMv2Config(
+            vocab_size=250002, max_position_embeddings=args.L + 8,
+            pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    else:
+        bb_name, bb_cfg = "lilt-infoxlm-base", LiltConfig(
             vocab_size=250002, max_position_embeddings=args.L + 8,
             pad_token_id=1, hidden_dropout_prob=0.0,
-            attention_probs_dropout_prob=0.0).to_dict(),
+            attention_probs_dropout_prob=0.0)
+    if args.train and args.backbone != "lilt":
+        p.error("--train profiling supports --backbone lilt only")
+    kernel_flags = {} if args.train else dict(
+        # serving defaults on a real TPU (pipeline/infer.py) so the profile
+        # matches what bench.py/bench_serving.py time
+        use_fused_biacm=(args.backbone == "lilt"),
+        use_fused_bias_attention=(args.backbone != "lilt"),
+        quantize_pair_head="int8",
+    )
+    cfg = PEneoConfig(
+        backbone_name=bb_name,
+        backbone_config=bb_cfg.to_dict(),
         max_seq_len=args.L,
+        **kernel_flags,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     ids, bbox, attn = bench_mod._inputs(rng, args.B, seq_len=args.L)
-    params = bench_mod._random_params(model, ids, bbox, attn)
+    image = None
+    if args.backbone != "lilt" and not args.no_image:
+        s = bb_cfg.input_size
+        image = rng.standard_normal((args.B, 3, s, s)).astype(np.float32)
+    params = bench_mod._random_params(model, ids, bbox, attn, image=image)
 
     if args.train:
         from peneo_tpu.data.tagging import batch_spots_to_matrix
@@ -174,9 +231,13 @@ def main():
             state, m = step(state, batch)
             return float(jax.device_get(m["total"]))
     else:
-        fwd = bench_mod.build_forward(model)
+        fwd = bench_mod.build_forward(model, with_image=image is not None)
+        img_d = (None if image is None
+                 else jnp.asarray(image, jnp.bfloat16))
 
         def run():
+            if img_d is not None:
+                return jax.device_get(fwd(params, ids, bbox, attn, img_d))
             return jax.device_get(fwd(params, ids, bbox, attn))
 
     run()  # compile
@@ -193,7 +254,14 @@ def main():
     pages = args.B * args.iters
     print(f"wall: {wall * 1e3:.1f} ms for {args.iters} iters "
           f"({pages / wall:.1f} pages/s)")
-    flops = analytic_flops_per_page(args.L) * pages
+    if args.backbone == "lilt":
+        flops = analytic_flops_per_page(args.L) * pages
+    else:
+        grid = bb_cfg.input_size // 16 if args.backbone == "layoutlmv3" \
+            else int(bb_cfg.image_feature_pool_shape[0])
+        n_vis = (grid * grid + 1 if args.backbone == "layoutlmv3"
+                 else grid * grid) if image is not None else 0
+        flops = analytic_flops_single_stream(args.L, n_vis) * pages
     if args.train:
         flops *= 3  # fwd + backward ≈ 3× fwd FLOPs
     achieved = flops / wall
