@@ -186,9 +186,12 @@ def main():
             attention_probs_dropout_prob=0.0)
     if args.train and args.backbone != "lilt":
         p.error("--train profiling supports --backbone lilt only")
-    kernel_flags = {} if args.train else dict(
-        # serving defaults on a real TPU (pipeline/infer.py) so the profile
-        # matches what bench.py/bench_serving.py time
+    # serving auto-enables the fused kernels + int8 pair head only on a real
+    # TPU (pipeline/infer.py); mirror that gate so the profile matches what
+    # bench.py/bench_serving.py time on every backend (off-TPU the fused
+    # kernels would run in slow interpret mode and skew the profile)
+    on_tpu = jax.default_backend() == "tpu"
+    kernel_flags = {} if args.train or not on_tpu else dict(
         use_fused_biacm=(args.backbone == "lilt"),
         use_fused_bias_attention=(args.backbone != "lilt"),
         quantize_pair_head="int8",
@@ -257,7 +260,8 @@ def main():
     if args.backbone == "lilt":
         flops = analytic_flops_per_page(args.L) * pages
     else:
-        grid = bb_cfg.input_size // 16 if args.backbone == "layoutlmv3" \
+        grid = bb_cfg.input_size // bb_cfg.patch_size \
+            if args.backbone == "layoutlmv3" \
             else int(bb_cfg.image_feature_pool_shape[0])
         n_vis = (grid * grid + 1 if args.backbone == "layoutlmv3"
                  else grid * grid) if image is not None else 0
