@@ -52,3 +52,23 @@ def stack_head_weights(decoder_params: Dict, head_names, dtype=jnp.float32):
         w2.append(k_pad)
         b2.append(b_pad)
     return (jnp.stack(w1), jnp.stack(b1), jnp.stack(w2), jnp.stack(b2))
+
+
+def stack_head_weights_int8(decoder_params: Dict, head_names,
+                            dtype=jnp.float32):
+    """Int8 stacked layout for the sp pair-head path: the dominant H→H
+    first-layer kernels are pre-quantized with per-output-channel symmetric
+    scales (the ops/quant.Int8Dense weight scheme, computed from the fp32
+    params exactly as the module path does); the tiny H→C_PAD output layers
+    stay full precision, mirroring PairClassifier's quant_int8 which only
+    swaps the hidden layers.
+
+    Returns a 5-tuple ``(w1q int8 (5,H,H), w1_scale f32 (5,H), b1, w2, b2)``
+    — parallel/seq_parallel._head_block dispatches on the tuple arity.
+    """
+    w1, b1, w2, b2 = stack_head_weights(decoder_params, head_names,
+                                        jnp.float32)
+    w_scale = jnp.max(jnp.abs(w1), axis=1) / 127.0            # (5, H)
+    w1q = jnp.round(
+        w1 / jnp.maximum(w_scale, 1e-12)[:, None, :]).astype(jnp.int8)
+    return (w1q, w_scale, b1, w2.astype(dtype), b2.astype(dtype))

@@ -92,7 +92,25 @@ def _head_block(pair, weights, hi, dropout_rng=None, dropout_p=0.0):
     Matches models/decoder.PairClassifier with num_layers=2 (the default;
     reference build_classifier, model/peneo_decoder.py:231-271). C_PAD pad
     classes carry a -inf bias → downstream softmax/log-softmax ignore them.
+
+    A 5-tuple ``weights`` (ops/pair_head.stack_head_weights_int8) runs the
+    first matmul s8×s8→s32 with per-row dynamic activation scales — the
+    ops/quant.Int8Dense recipe, serving-only (no dropout, no gradient).
     """
+    if len(weights) == 5:
+        w1q, w1s, b1, w2, b2 = weights
+        assert dropout_rng is None or dropout_p == 0.0, \
+            "int8 stacked pair head is serving-only"
+        xf = pair.astype(jnp.float32)
+        x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        xq = jnp.round(xf / jnp.maximum(x_scale, 1e-12)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w1q[hi], (((xf.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        x = acc.astype(jnp.float32) * x_scale * w1s[hi]
+        x = jax.nn.silu(x + b1[hi].astype(jnp.float32)).astype(pair.dtype)
+        logits = jnp.dot(x, w2[hi], preferred_element_type=jnp.float32)
+        return logits + b2[hi].astype(jnp.float32)
     w1, b1, w2, b2 = weights
     x = jnp.dot(pair, w1[hi], preferred_element_type=jnp.float32)
     x = jax.nn.silu(x + b1[hi].astype(jnp.float32)).astype(pair.dtype)

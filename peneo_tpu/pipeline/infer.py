@@ -88,20 +88,15 @@ class InferenceService:
             # eval losses differ only ~0.3% rel — the quantization noise
             # never flips a decode decision; docs §8). Opt out via the
             # ctor / --no_int8_pair_head for exact bf16 logits.
-            int8_pair_head = jax.default_backend() == "tpu" and sp == 1
+            int8_pair_head = jax.default_backend() == "tpu"
         if int8_pair_head:
             # quantize the pair head's dominant matmuls to s8×s8→s32
-            # (ops/quant.Int8Dense)
+            # (ops/quant.Int8Dense); under sp > 1 the stacked-weight
+            # evaluation quantizes the first layers the same way
+            # (ops/pair_head.stack_head_weights_int8)
             self.cfg.quantize_pair_head = "int8"
         if int8_backbone:
             self.cfg.quantize_backbone = "int8"
-        if sp > 1 and getattr(self.cfg, "quantize_pair_head", None):
-            # sp shards evaluate the pair head from stacked fp weights
-            # (parallel/seq_parallel.py), which the int8 path does not
-            # cover — reject (whether the flag came from the ctor or the
-            # model dir's config.json) rather than silently ignore it
-            raise ValueError(
-                "quantize_pair_head is not supported with sp > 1")
         if max_seq_len:
             self.cfg.max_seq_len = max_seq_len
         self.info = get_backbone_info(self.cfg.backbone_name)
@@ -232,14 +227,19 @@ class InferenceService:
             assert self.cfg.max_spots_per_head > 0, \
                 "sp serving requires compact spot extraction"
             from ..models.decoder import HEAD_NAMES
-            from ..ops.pair_head import stack_head_weights
+            from ..ops.pair_head import (stack_head_weights,
+                                         stack_head_weights_int8)
             from ..parallel.seq_parallel import sp_pair_spots
+
+            quant_sp = getattr(self.cfg, "quantize_pair_head", None) == "int8"
 
             def _fwd(p, ids, bbox, attn, image):
                 pair_in = self.model.apply(
                     {"params": p}, ids, bbox, attn, image=_prep_image(image),
                     deterministic=True, return_pair_inputs=True)
-                weights = stack_head_weights(
+                stack = stack_head_weights_int8 if quant_sp \
+                    else stack_head_weights
+                weights = stack(
                     p["peneo_decoder"], HEAD_NAMES, self.model.dtype)
                 out = sp_pair_spots(
                     pair_in["a"], pair_in["b"], weights, self.mesh,

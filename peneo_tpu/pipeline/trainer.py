@@ -486,6 +486,50 @@ class PEneoTrainer:
         loss_sums: Dict[str, float] = {}
         loss_weight = 0.0
         t0 = time.time()
+
+        # Pipelined eval (the serving dispatch/collect pattern,
+        # pipeline/infer.py): keep ONE batch in flight — dispatch batch i+1
+        # before fetching batch i — and run the host chain-walk decode on a
+        # small thread pool so decode of batch i overlaps device compute of
+        # batch i+1. Decode futures are drained IN ORDER at the end, so
+        # accumulated preds/gts/fnames (and thus metrics) are identical to
+        # the old strictly-sequential loop. All device interaction
+        # (device_put, dispatch, device_get) stays on the MAIN thread — the
+        # multi-process collective rules (CLAUDE.md) forbid background-thread
+        # device_puts, and the decode workers touch host arrays only.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2,
+                                  thread_name_prefix="eval-decode")
+        in_flight: deque = deque()
+        decode_futs: list = []
+
+        def _decode_task(texts, out, labels, seq_lens, fnames):
+            return dec.decode_batch(texts, out, labels, seq_lens, fnames,
+                                    score_thresh=score_thresh)
+
+        def _collect_one():
+            nonlocal loss_weight
+            batch, bsz, out, losses = in_flight.popleft()
+            if losses is not None:
+                losses = jax.device_get(losses)
+                for kk, v in losses.items():
+                    loss_sums[kk] = loss_sums.get(kk, 0.0) + float(v) * bsz
+                loss_weight += bsz
+            out, rows = self._eval_host(out, bsz)
+            if rows is None:
+                decode_futs.append(pool.submit(
+                    _decode_task, batch.texts, out, batch.labels,
+                    [int(s) for s in batch.seq_len], batch.fnames))
+            else:  # multi-process: decode only this process's rows
+                sub_labels = {k: v[rows] for k, v in
+                              (batch.labels or {}).items()}
+                decode_futs.append(pool.submit(
+                    _decode_task, [batch.texts[i] for i in rows], out,
+                    sub_labels, [int(batch.seq_len[i]) for i in rows],
+                    [batch.fnames[i] for i in rows]))
+
         for batch in feed:
             # static-shape jit: pad the ragged final batch up to full size by
             # repeating rows (decoded results beyond bsz are discarded), so
@@ -530,30 +574,20 @@ class PEneoTrainer:
                         else T.make_eval_step(self._eval_model,
                                               with_loss=True))
                 out, losses = self._eval_step_loss(params, dev_batch)
-                losses = jax.device_get(losses)
-                for kk, v in losses.items():
-                    loss_sums[kk] = loss_sums.get(kk, 0.0) + float(v) * bsz
-                loss_weight += bsz
             else:
-                out = self._eval_step(params, dev_batch)
-            out, rows = self._eval_host(out, bsz)
-            if rows is None:
-                preds, gts, fnames = dec.decode_batch(
-                    batch.texts, out, batch.labels,
-                    [int(s) for s in batch.seq_len], batch.fnames,
-                    score_thresh=score_thresh)
-            else:  # multi-process: decode only this process's rows
-                sub_labels = {k: v[rows] for k, v in
-                              (batch.labels or {}).items()}
-                preds, gts, fnames = dec.decode_batch(
-                    [batch.texts[i] for i in rows], out, sub_labels,
-                    [int(batch.seq_len[i]) for i in rows],
-                    [batch.fnames[i] for i in rows],
-                    score_thresh=score_thresh)
+                out, losses = self._eval_step(params, dev_batch), None
+            in_flight.append((batch, bsz, out, losses))
+            n_eval += bsz
+            while len(in_flight) > 1:
+                _collect_one()
+        while in_flight:
+            _collect_one()
+        for fut in decode_futs:  # in dispatch order → identical accumulation
+            preds, gts, fnames = fut.result()
             all_pred.extend(preds)
             all_gt.extend(gts)
             all_fname.extend(fnames)
-            n_eval += bsz
+        pool.shutdown(wait=True)  # decode drained BEFORE the multihost gather
         calc = (ev.calculate_detail_kvpe_metric if args.detail_eval
                 else ev.calculate_kvpe_metric)
         summary, detail = calc(all_pred, all_gt, all_fname,

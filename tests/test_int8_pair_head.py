@@ -84,19 +84,69 @@ def test_int8_inactive_during_training():
     assert float(ref["total"]) == float(got["total"])
 
 
-def test_int8_rejected_with_sp_serving(tmp_path):
-    """sp shards evaluate stacked fp weights — int8 must be rejected whether
-    it comes from the ctor flag or the model dir's config.json."""
+def test_int8_sp_serving_matches_single_device(tmp_path):
+    """sp > 1 + int8: the stacked-weight evaluation quantizes the first
+    layers with the Int8Dense recipe (ops/pair_head.stack_head_weights_int8)
+    — decoded serving outputs must equal the single-device int8 module path
+    (round-4 VERDICT #3; previously rejected with a ValueError)."""
+    import json
+    import os
+    import random
+
+    from peneo_tpu.data.synthetic import (ToyTokenizer, make_document,
+                                          render_page)
+    from peneo_tpu.pipeline.checkpoint import save_params_msgpack
     from peneo_tpu.pipeline.infer import InferenceService
 
-    cfg = _cfg()
-    cfg.save_pretrained(str(tmp_path))
-    with pytest.raises(ValueError, match="sp > 1"):
-        InferenceService(str(tmp_path), sp=2, int8_pair_head=True)
-    cfg = _cfg(quantize_pair_head="int8")
-    cfg.save_pretrained(str(tmp_path))
-    with pytest.raises(ValueError, match="sp > 1"):
-        InferenceService(str(tmp_path), sp=2)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+
+    tok = ToyTokenizer()
+    wdir = str(tmp_path / "weights")
+    os.makedirs(wdir)
+    cfg = PEneoConfig(
+        backbone_name="lilt-infoxlm-base",
+        backbone_config=LiltConfig(
+            vocab_size=tok.vocab_size, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96, pad_token_id=0,
+            max_position_embeddings=72).to_dict(),
+        pair_block_size=16, max_seq_len=64, max_spots_per_head=64)
+    cfg.save_pretrained(wdir)
+    model = PEneoModel(cfg, dtype=jnp.float32)
+    ids = np.ones((1, 64), np.int32)
+    params = model.init(jax.random.PRNGKey(7), ids,
+                        np.zeros((1, 64, 4), np.int32), ids,
+                        deterministic=True)["params"]
+    save_params_msgpack(jax.device_get(params),
+                        os.path.join(wdir, "params.msgpack"))
+
+    from PIL import Image
+
+    img_dir = str(tmp_path / "images")
+    ocr_dir = str(tmp_path / "ocr")
+    os.makedirs(img_dir)
+    os.makedirs(ocr_dir)
+    rng = random.Random(13)
+    for i in range(4):
+        doc = make_document(rng, f"q{i}.png", n_pairs=3, n_noise=1)
+        Image.fromarray(render_page(doc)).save(f"{img_dir}/q{i}.png")
+        ocr = [{"text": ln["text"], "bbox": ln["bbox"]}
+               for e in doc["entities"] for ln in e["lines"]]
+        with open(f"{ocr_dir}/q{i}.json", "w") as f:
+            json.dump(ocr, f)
+
+    base = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                            batch_size=2, int8_pair_head=True)
+    sp = InferenceService(wdir, tokenizer=tok, dtype="float32",
+                          batch_size=2, dp=1, tp=1, sp=2,
+                          int8_pair_head=True)
+    assert sp.cfg.quantize_pair_head == "int8"
+    r1 = base.run(img_dir, ocr_dir)
+    r2 = sp.run(img_dir, ocr_dir)
+    assert set(r1) == set(r2) and len(r1) == 4
+    for k in r1:
+        assert r1[k]["kv_pairs"] == r2[k]["kv_pairs"], k
+        assert r1[k]["lines"] == r2[k]["lines"], k
 
 
 def test_int8_backbone_tracks_fp32():
