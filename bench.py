@@ -179,6 +179,16 @@ def main(argv=None):
     p.add_argument("--no_fused_bias_attention", dest="fused_bias_attention",
                    action="store_false",
                    help="force the stock XLA einsum attention path")
+    p.add_argument("--spot_streaming", action="store_true", default=False,
+                   help="reduce each pair-grid row block to top-k spot "
+                        "candidates as it is produced instead of "
+                        "materializing dense (B, L, L) tag/score maps "
+                        "(config.spot_streaming; default OFF — the v5e A/B "
+                        "measured the dense path faster at 6 of 7 "
+                        "geometries, docs §8)")
+    p.add_argument("--no_spot_streaming", dest="spot_streaming",
+                   action="store_false",
+                   help="force the dense-map spot extraction path")
     p.add_argument("--no_image", action="store_true",
                    help="layoutlmv3/v2 only: drop the synthetic page image "
                         "so the backbone runs text-only (L stays "
@@ -231,6 +241,7 @@ def main(argv=None):
         use_fused_bias_attention=args.fused_bias_attention,
         quantize_pair_head="int8" if args.int8_pair_head else None,
         quantize_backbone="int8" if args.int8_backbone else None,
+        spot_streaming=args.spot_streaming,
     )
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

@@ -200,6 +200,19 @@ class PEneoConfig:
     # On non-TPU backends approx_max_k lowers to the exact sort, so CPU runs
     # are bit-identical to "exact". Set "exact" to force lax.top_k anywhere.
     spot_topk: str = "approx"
+    # streaming spot extraction: reduce each pair-grid row block to its own
+    # top-k candidates as it is produced and merge once at the end, instead
+    # of materializing the five dense (B, L, L) tag+score maps and top-k'ing
+    # the full grid (models/decoder.block_spot_candidates). Skips ~10·L²·B
+    # bytes of HBM writes per batch — but the v5e A/B (docs §8, round 5)
+    # measured the DENSE path faster at 6 of 7 geometries (streaming won
+    # only LiLT L=2048 B=8 at +9.4%, lost 15-31% elsewhere): XLA fuses the
+    # argmax/max into the pair-head epilogue, while the per-block top-k sits
+    # on the critical path. Default stays False; kept as an opt-in knob.
+    # Ties at the k-boundary may resolve differently than the dense path
+    # (both orders are valid top-k sets; spot_count ≤ k — the trained-model
+    # regime — is unaffected).
+    spot_streaming: bool = False
     # serving-only quantization of the pair head's dominant matmul (each
     # head's first classifier layer, ~2/3 of per-page FLOPs): "int8" runs it
     # s8×s8→s32 on the MXU (2× the bf16 peak on v5e) with per-row dynamic

@@ -244,6 +244,9 @@ class PEneoDecoder(nn.Module):
                 lbl[name] = m
             dec_tags = {name: [] for name in HEAD_NAMES} if also_decode else None
             dec_scores = {name: [] for name in HEAD_NAMES} if also_decode else None
+            dec_stream = (also_decode and cfg.spot_streaming
+                          and cfg.max_spots_per_head > 0)
+            dec_counts = {name: 0 for name in HEAD_NAMES} if dec_stream else None
             # per-sample loss inclusion: eval pads ragged final batches by
             # repeating rows (pipeline/trainer.py) — masking those rows out
             # of the CE/OHEM sums keeps reported eval losses exact instead of
@@ -264,6 +267,13 @@ class PEneoDecoder(nn.Module):
                             logits_blk[name].astype(jnp.float32), axis=-1)
                         t_blk = jnp.argmax(p, axis=-1).astype(jnp.int32)
                         s_blk = jnp.max(p, axis=-1)
+                        if dec_stream:
+                            cand, cnt = block_spot_candidates(
+                                t_blk, s_blk, r0, r0, Ld,
+                                cfg.max_spots_per_head, cfg.spot_topk)
+                            dec_tags[name].append(cand)
+                            dec_counts[name] = dec_counts[name] + cnt
+                            continue
                         dec_tags[name].append(
                             jnp.pad(t_blk, [(0, 0), (0, 0), (r0, 0)]))
                         dec_scores[name].append(
@@ -292,6 +302,11 @@ class PEneoDecoder(nn.Module):
             if also_decode:
                 out = {}
                 for name in HEAD_NAMES:
+                    if dec_stream:
+                        out[name] = merge_spot_candidates(
+                            dec_tags[name], dec_counts[name],
+                            cfg.max_spots_per_head, Ld)
+                        continue
                     t = jnp.concatenate(dec_tags[name], axis=1)[:, :Ld, :Ld]
                     s = jnp.concatenate(dec_scores[name], axis=1)[:, :Ld, :Ld]
                     if cfg.max_spots_per_head > 0:
@@ -304,8 +319,10 @@ class PEneoDecoder(nn.Module):
 
         # inference / eval path
         compact_k = cfg.max_spots_per_head
+        stream = (cfg.spot_streaming and compact_k > 0 and not return_logits)
         tags = {name: [] for name in HEAD_NAMES}
         scores = {name: [] for name in HEAD_NAMES}
+        counts = {name: 0 for name in HEAD_NAMES} if stream else None
         logits_out = {name: [] for name in HEAD_NAMES} if return_logits else None
         for r0 in range(0, Lp, bs):
             logits_blk = bank(a[:, r0:r0 + bs], b[:, r0:], True)
@@ -314,6 +331,14 @@ class PEneoDecoder(nn.Module):
                 p = jax.nn.softmax(lg, axis=-1)
                 t_blk = jnp.argmax(p, axis=-1).astype(jnp.int32)
                 s_blk = jnp.max(p, axis=-1)
+                if stream:
+                    # reduce the block to candidates while it is live in
+                    # VMEM — the dense (B, L, L) maps are never written
+                    cand, cnt = block_spot_candidates(
+                        t_blk, s_blk, r0, r0, Ld, compact_k, cfg.spot_topk)
+                    tags[name].append(cand)
+                    counts[name] = counts[name] + cnt
+                    continue
                 # left-pad the skipped lower-triangle columns (never read:
                 # decode keeps only i <= j)
                 tags[name].append(jnp.pad(t_blk, [(0, 0), (0, 0), (r0, 0)]))
@@ -323,6 +348,10 @@ class PEneoDecoder(nn.Module):
                         lg, [(0, 0), (0, 0), (r0, 0), (0, 0)]))
         out = {}
         for name in HEAD_NAMES:
+            if stream:
+                out[name] = merge_spot_candidates(
+                    tags[name], counts[name], compact_k, Ld)
+                continue
             t = jnp.concatenate(tags[name], axis=1)[:, :Ld, :Ld]
             s = jnp.concatenate(scores[name], axis=1)[:, :Ld, :Ld]
             if compact_k > 0 and not return_logits:
@@ -333,6 +362,65 @@ class PEneoDecoder(nn.Module):
                 out[name]["logits"] = jnp.concatenate(
                     logits_out[name], axis=1)[:, :Ld, :Ld]
         return out
+
+
+def block_spot_candidates(t_blk: jnp.ndarray, s_blk: jnp.ndarray, row0: int,
+                          col0: int, valid_len: int, k: int,
+                          method: str = "exact"):
+    """One pair-grid row block → its top-k nonzero-triu spot candidates.
+
+    Streaming half of :func:`compact_spots`: the block's (B, bs, W) argmax
+    tags / max-prob scores are reduced to at most k candidates *while the
+    block is live in VMEM*, so the five dense (B, L, L) tag+score maps are
+    never written to HBM (~10·L²·B bytes per batch at f32+i32 — 671 MB/page
+    at L=4096). Any global top-k spot is necessarily in its own block's
+    top-k, so merging the per-block candidates (:func:`merge_spot_candidates`)
+    reproduces the dense top-k set exactly; only the resolution of score
+    ties at the k boundary can differ (both are valid top-k cuts, and with
+    spot_count ≤ k every nonzero spot survives either way).
+
+    Flat indices use the ``valid_len`` stride so they are interchangeable
+    with the dense path's ``i * L + j`` contract (pipeline/decode.py).
+    """
+    B, bsz, W = t_blk.shape
+    valid = triu_valid_mask(row0, bsz, W, valid_len, col0)[None] & (t_blk != 0)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bsz, W), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bsz, W), 1)
+    flat = jnp.where(valid, (rows * valid_len + cols)[None], 0)
+    n = bsz * W
+    kb = min(k, n)
+    sc = jnp.where(valid, s_blk, -1.0).reshape(B, n)
+    if method == "approx" and n >= 2 * kb:
+        # same partial-reduce op and recall rationale as compact_spots
+        top_s, pos = jax.lax.approx_max_k(sc, kb, recall_target=0.99)
+    else:
+        top_s, pos = jax.lax.top_k(sc, kb)
+    return {
+        "score": top_s,
+        "idx": jnp.take_along_axis(flat.reshape(B, n), pos, axis=1),
+        "tag": jnp.take_along_axis(t_blk.reshape(B, n), pos, axis=1),
+    }, valid.reshape(B, n).sum(axis=1)
+
+
+def merge_spot_candidates(cands, count: jnp.ndarray, k: int, valid_len: int):
+    """Per-block candidates → the :func:`compact_spots` output contract."""
+    sc = jnp.concatenate([c["score"] for c in cands], axis=1)
+    idx = jnp.concatenate([c["idx"] for c in cands], axis=1)
+    tag = jnp.concatenate([c["tag"] for c in cands], axis=1)
+    B, n = sc.shape
+    if n < k:  # tiny grids: fewer candidates than slots — pad empties
+        sc = jnp.pad(sc, [(0, 0), (0, k - n)], constant_values=-1.0)
+        idx = jnp.pad(idx, [(0, 0), (0, k - n)])
+        tag = jnp.pad(tag, [(0, 0), (0, k - n)])
+        n = k
+    top_s, pos = jax.lax.top_k(sc, min(k, n))
+    return {
+        "spot_idx": jnp.take_along_axis(idx, pos, axis=1).astype(jnp.int32),
+        "spot_tag": jnp.take_along_axis(tag, pos, axis=1).astype(jnp.int8),
+        "spot_score": top_s,
+        "spot_count": count.astype(jnp.int32),
+        "seq_len": jnp.full((sc.shape[0],), valid_len, jnp.int32),
+    }
 
 
 def compact_spots(tags: jnp.ndarray, scores: jnp.ndarray, k: int,

@@ -349,17 +349,26 @@ class LayoutLMv2Model(nn.Module):
             [attention_mask, jnp.ones((B, n_vis), attention_mask.dtype)], axis=1)
         attn_bias = extended_attention_mask(final_mask, jnp.float32)
 
-        final_pos = jnp.concatenate([pos_ids, vis_pos], axis=1)
         final_bbox = jnp.concatenate([bbox, vis_box], axis=1)
         rel_bias = None
         if cfg.has_relative_attention_bias or cfg.has_spatial_attention_bias:
+            from .layoutlmv3 import static_rel_pos_bucket
+
             parts = []
             if cfg.has_relative_attention_bias:
                 table = self.param("rel_pos_bias", dense_init(cfg),
                                    (cfg.rel_pos_bins, cfg.num_attention_heads))
-                rel = final_pos[:, None, :] - final_pos[:, :, None]
-                parts.append(table[relative_position_bucket(
-                    rel, cfg.rel_pos_bins, cfg.max_rel_pos)])
+                # position-only (pos_ids/vis_pos are plain aranges above) →
+                # static per trace: numpy constant, one gather shared
+                # across the batch (see models/layoutlmv3.py). Unlike v3,
+                # the single (1, L', L', heads) gather is safe here: v2 is
+                # capped at L=512 (max_position_embeddings) and its whole
+                # envelope fits (AOT-probed 6.68G at B=32,
+                # tools/probe_hbm.py) — and it measured +8.2% at B=16
+                # (126.7 → 137.1 pages/s, docs §8)
+                bucket = static_rel_pos_bucket(L, n_vis, cfg.rel_pos_bins,
+                                               cfg.max_rel_pos)
+                parts.append(table[bucket][None])
             if cfg.has_spatial_attention_bias:
                 tx = self.param("rel_pos_x_bias", dense_init(cfg),
                                 (cfg.rel_2d_pos_bins, cfg.num_attention_heads))
@@ -374,6 +383,9 @@ class LayoutLMv2Model(nn.Module):
                     cy[:, None, :] - cy[:, :, None], cfg.rel_2d_pos_bins,
                     cfg.max_rel_2d_pos)])
             rel_bias = sum(parts).transpose(0, 3, 1, 2).astype(jnp.float32)
+            if rel_bias.shape[0] != B:  # 1D-only configs: batch-broadcast
+                rel_bias = jnp.broadcast_to(rel_bias,
+                                            (B,) + rel_bias.shape[1:])
 
         layer_cls = (nn.remat(Layer, static_argnums=(4,))
                      if self.remat_layers else Layer)

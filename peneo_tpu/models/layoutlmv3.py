@@ -54,6 +54,40 @@ def relative_position_bucket(rel_pos: jnp.ndarray, num_buckets: int,
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+def static_rel_pos_bucket(seq_len: int, n_vis: int, num_buckets: int,
+                          max_distance: int):
+    """Trace-time twin of the 1D rel-pos bucket matrix.
+
+    The 1D relative positions are plain ``arange`` ramps in both the
+    text-only and image branches (modeling_layoutlmv3.py:1101-1107 — NOT the
+    pad-aware embedding ids), so the (L', L') bucket matrix depends only on
+    the static shapes: build it ONCE in numpy at trace time and bake it as a
+    constant instead of re-deriving it on device every forward (abs/log/div/
+    select over B·L'² elements per call). Integer-equality with the traced
+    :func:`relative_position_bucket` is asserted in
+    tests/test_rel_bucket_static.py.
+    """
+    import numpy as np
+
+    pos = np.arange(seq_len, dtype=np.int64)
+    if n_vis:
+        pos = np.concatenate([pos, np.arange(n_vis, dtype=np.int64)])
+    rel = pos[None, :] - pos[:, None]
+    num_buckets //= 2
+    ret = (rel > 0).astype(np.int32) * num_buckets
+    n = np.abs(rel)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    n_safe = np.maximum(n, 1).astype(np.float32)
+    val_if_large = max_exact + (
+        np.log(n_safe / np.float32(max_exact))
+        / np.float32(math.log(max_distance / max_exact))
+        * (num_buckets - max_exact)
+    ).astype(np.int32)
+    val_if_large = np.minimum(val_if_large, num_buckets - 1)
+    return jnp.asarray(ret + np.where(is_small, n, val_if_large), jnp.int32)
+
+
 def visual_bbox(img_grid: int, max_len: int = 1000) -> jnp.ndarray:
     """Patch-grid pseudo-bboxes + cls box (modeling_layoutlmv3.py:879-901)."""
     edges = (jnp.arange(0, max_len * (img_grid + 1), max_len) // img_grid)
@@ -260,15 +294,12 @@ class LayoutLMv3Model(nn.Module):
 
             attention_mask = jnp.concatenate(
                 [attention_mask, jnp.ones((B, n_vis), attention_mask.dtype)], axis=1)
-            # bias inputs: text positions are plain arange when an image is
-            # present (:1101-1107 — NOT the pad-aware embedding ids)
-            pos_ids = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
-            vis_pos = jnp.broadcast_to(jnp.arange(n_vis)[None], (B, n_vis))
-            final_pos = jnp.concatenate([pos_ids, vis_pos], axis=1)
+            # bias positions are plain aranges when an image is present
+            # (:1101-1107 — NOT the pad-aware embedding ids): built statically
+            # inside static_rel_pos_bucket below
             vis_box = jnp.broadcast_to(visual_bbox(grid)[None], (B, n_vis, 4))
             final_bbox = jnp.concatenate([bbox, vis_box], axis=1)
         else:
-            final_pos = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
             final_bbox = bbox
 
         attn_bias = extended_attention_mask(attention_mask, jnp.float32)
@@ -280,10 +311,21 @@ class LayoutLMv3Model(nn.Module):
             if cfg.has_relative_attention_bias:
                 table = self.param("rel_pos_bias", dense_init(cfg),
                                    (cfg.rel_pos_bins, cfg.num_attention_heads))
-                rel = final_pos[:, None, :] - final_pos[:, :, None]
-                bucket = relative_position_bucket(rel, cfg.rel_pos_bins,
-                                                  cfg.max_rel_pos)
-                parts.append(table[bucket])  # (B, L', L', heads)
+                # static per trace (position-only): the (L', L') bucket
+                # matrix is a numpy constant at trace time — skips the
+                # per-forward B·L'² on-device bucketing math (abs/log/div/
+                # select) and compiles ~1.6× faster. The gather itself must
+                # stay batch-shaped: gathering once into (1, L', L', heads)
+                # measured +5.5% at L=512 B=16 but OOMs at B=32 / L=2048 B=4
+                # (15.56G program vs 10.83G — XLA materializes the broadcast
+                # fp32 bias instead of fusing the gather into its consumers;
+                # AOT-probed via tools/probe_hbm.py, docs §8), so the batched
+                # gather is the keeper: memory-identical to the dynamic path.
+                bucket = static_rel_pos_bucket(
+                    L, n_vis if image is not None else 0,
+                    cfg.rel_pos_bins, cfg.max_rel_pos)
+                parts.append(table[jnp.broadcast_to(
+                    bucket[None], (B,) + bucket.shape)])  # (B, L', L', heads)
             if cfg.has_spatial_attention_bias:
                 tx = self.param("rel_pos_x_bias", dense_init(cfg),
                                 (cfg.rel_2d_pos_bins, cfg.num_attention_heads))

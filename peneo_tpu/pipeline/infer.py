@@ -63,6 +63,7 @@ class InferenceService:
         int8_pair_head: Optional[bool] = None,
         int8_backbone: bool = False,
         bucket_lengths=None,
+        spot_streaming: Optional[bool] = None,
     ) -> None:
         """``dp``/``tp``/``sp`` > 1 serve over a ``jax.sharding.Mesh``: the
         page batch shards over dp chips, the attention/MLP/pair-head kernels
@@ -88,17 +89,36 @@ class InferenceService:
             # eval losses differ only ~0.3% rel — the quantization noise
             # never flips a decode decision; docs §8). Opt out via the
             # ctor / --no_int8_pair_head for exact bf16 logits.
-            int8_pair_head = jax.default_backend() == "tpu"
+            # Under sp > 1 auto stays OFF: the stacked-weight formulation
+            # the sp shards run measured ≈neutral-to-losing in the
+            # long-context regime sp exists for (0.99× at L=2048, 0.95× at
+            # L=4096; 1.24× only at L=1024 — tools/bench_sp_pair.py,
+            # docs §8). Explicit int8_pair_head=True is still honored.
+            int8_pair_head = jax.default_backend() == "tpu" and sp == 1
         if int8_pair_head:
             # quantize the pair head's dominant matmuls to s8×s8→s32
             # (ops/quant.Int8Dense); under sp > 1 the stacked-weight
             # evaluation quantizes the first layers the same way
-            # (ops/pair_head.stack_head_weights_int8)
+            # (ops/pair_head.stack_head_weights_int8). Measured: the
+            # stacked formulation is ≈neutral at L=2048 B=1 (0.99×,
+            # tools/bench_sp_pair.py, docs §8) — the stacked matmul is
+            # already MXU-bound at 5× width — so under sp the flag mainly
+            # buys uniformity with the module path, not speed.
             self.cfg.quantize_pair_head = "int8"
         if int8_backbone:
             self.cfg.quantize_backbone = "int8"
         if max_seq_len:
             self.cfg.max_seq_len = max_seq_len
+        if spot_streaming is None:
+            # Default OFF: the v5e A/B (docs §8, round 5) measured the dense
+            # compact_spots path FASTER at 6 of 7 geometries (streaming won
+            # only LiLT L=2048 B=8, +9.4%; it lost 15-31% at L=512/1024/4096)
+            # — XLA already fuses the argmax/max into the pair-head epilogue,
+            # while streaming adds a per-block top-k on the critical path.
+            # Kept as an opt-in knob; spot sets are identical either way
+            # (tests/test_spot_streaming.py).
+            spot_streaming = False
+        self.cfg.spot_streaming = bool(spot_streaming)
         self.info = get_backbone_info(self.cfg.backbone_name)
         # fused BiACM attention (ops/biacm_attention.py) is the serving
         # default on real TPUs: measured +7-8% end-to-end at L=512

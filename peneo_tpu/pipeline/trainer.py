@@ -504,6 +504,10 @@ class PEneoTrainer:
                                   thread_name_prefix="eval-decode")
         in_flight: deque = deque()
         decode_futs: list = []
+        # measurement hook: PENEO_EVAL_SEQUENTIAL=1 restores the round-4
+        # strictly-sequential loop (fetch + decode each batch before
+        # dispatching the next) for the pipelined-eval A/B — docs §8
+        pipelined = os.environ.get("PENEO_EVAL_SEQUENTIAL") != "1"
 
         def _decode_task(texts, out, labels, seq_lens, fnames):
             return dec.decode_batch(texts, out, labels, seq_lens, fnames,
@@ -578,8 +582,10 @@ class PEneoTrainer:
                 out, losses = self._eval_step(params, dev_batch), None
             in_flight.append((batch, bsz, out, losses))
             n_eval += bsz
-            while len(in_flight) > 1:
+            while len(in_flight) > (1 if pipelined else 0):
                 _collect_one()
+            if not pipelined:
+                decode_futs[-1].result()  # decode inline, old behavior
         while in_flight:
             _collect_one()
         for fut in decode_futs:  # in dispatch order → identical accumulation

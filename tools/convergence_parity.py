@@ -412,12 +412,13 @@ def main(argv=None):
         with open(args.reuse_ref) as f:
             reused = json.load(f)
         for key in ("steps", "b", "lr", "warmup_ratio", "max_len",
-                    "train_pages", "val_pages", "eval_split"):
+                    "train_pages", "val_pages"):
             assert reused["config"][key] == getattr(args, key), \
                 f"--reuse_ref mismatch on {key}"
-        for key in ("family", "geometry"):  # absent in round-4 reports
-            assert reused["config"].get(key, "lilt" if key == "family"
-                                        else "dev") == getattr(args, key), \
+        # keys absent in round-4 reports default to that round's values
+        for key, legacy in (("eval_split", "dev"), ("family", "lilt"),
+                            ("geometry", "dev")):
+            assert reused["config"].get(key, legacy) == getattr(args, key), \
                 f"--reuse_ref mismatch on {key}"
 
     geom = GEOMETRIES[(args.family, args.geometry)]
