@@ -35,6 +35,9 @@ def probe(args):
     from bench import _inputs, _random_params, build_forward
     from peneo_tpu.config import (LayoutLMv2Config, LayoutLMv3Config,
                                   PEneoConfig)
+    from peneo_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # probe compiles then warm the bench/serving runs
 
     if args.backbone == "layoutlmv3":
         bb_name = "layoutlmv3-base"
