@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--hidden", type=int, default=768)
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--out", default=None, help="append JSON line here")
+    p.add_argument("--sparse", action="store_true",
+                   help="shift pair-head output biases so (almost) no "
+                        "position tags positive — the trained-model-like "
+                        "regime where eval is device-bound and pipelining "
+                        "hides fetch+decode behind compute")
     args = p.parse_args(argv)
 
     import tempfile
@@ -68,10 +73,34 @@ def main(argv=None):
     cfg = PEneoConfig(backbone_name="lilt-infoxlm-base", backbone_config=bb,
                       max_spots_per_head=256, spot_topk="approx")
     model = PEneoModel(cfg, dtype=jnp.bfloat16)
+    # Fresh random params (no training run here): shape-infer then fill on
+    # host — random logits mark plenty of spots, a realistic-to-heavy decode
+    # load for the A/B.
+    import numpy as np
+    ids = np.ones((1, args.L), np.int32)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids,
+                           np.zeros((1, args.L, 4), np.int32), ids,
+                           deterministic=True)["params"])
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: rng.normal(0, 0.02, s.shape).astype(s.dtype), params)
+    if args.sparse:
+        # Every pair-head classifier chain ends in ``fc_out`` (decoder.py
+        # MLPHead); pushing its non-negative-class biases down means argmax
+        # lands on class 0 everywhere → zero spots, trivial chain walks.
+        def _shift(tree):
+            for k, v in tree.items():
+                if k == "fc_out" and isinstance(v, dict) and "bias" in v:
+                    v["bias"][1:] -= 50.0
+                elif isinstance(v, dict):
+                    _shift(v)
+        _shift(params)
     targs = TrainingArguments(
         output_dir=os.path.join(tmp, "run"), max_steps=1,
         per_device_eval_batch_size=args.B, dp=1, tp=1, seed=0)
-    trainer = PEneoTrainer(cfg, model, targs, train_ds, eval_ds, coll)
+    trainer = PEneoTrainer(cfg, model, targs, train_ds, eval_ds, coll,
+                           params=params)
 
     print(f"backend={jax.default_backend()} pages={args.pages} "
           f"B={args.B} L={args.L}", flush=True)
